@@ -1,0 +1,145 @@
+"""BSSRDF diffusion profiles — batched JAX.
+
+TPU-native rebuild of the reference's profile layer (src/rlSss.h:26-97,
+src/rlSss.cpp:20-106):
+
+* `NDProfile` — Burley/Christensen "normalized diffusion"
+  R(r) = (e^{-r/d} + e^{-r/3d}) / (8 pi d r) per RGB channel, with exact
+  inverse-CDF radius sampling of the two-exponential mixture and the disk PDF
+  used for the probe-ray MIS combine.
+* `GaussianProfile` — truncated-Gaussian alternative.
+
+A profile is a NamedTuple of per-channel constants; all functions broadcast
+over leading batch dims.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.vecmath import linearstep
+
+EPS = 1e-7
+TWO_PI = 2.0 * jnp.pi
+
+
+class NDProfile(NamedTuple):
+    distance: jnp.ndarray    # (..., 3) per-channel scatter distance d
+    c1: jnp.ndarray          # (..., 3) 1 - exp(-rmax/d)
+    c2: jnp.ndarray          # (..., 3) 1 - exp(-rmax/(3d))
+    max_radius: jnp.ndarray  # (...,)
+
+
+def make_nd_profile(distance: jnp.ndarray) -> NDProfile:
+    """Counterpart of NDProfile::setDistance (rlSss.cpp:20-34). The albedo-fit
+    `s` term is computed-but-unused in the reference, so it is omitted here."""
+    distance = jnp.asarray(distance, jnp.float32)
+    max_radius = jnp.max(distance, axis=-1) * 3.0
+    safe_d = jnp.maximum(distance, 1e-12)
+    rm = max_radius[..., None]
+    c1 = 1.0 - jnp.exp(-rm / safe_d)
+    c2 = 1.0 - jnp.exp(-rm / safe_d / 3.0)
+    return NDProfile(distance=distance, c1=c1, c2=c2, max_radius=max_radius)
+
+
+def select_dist_lobe(x: jnp.ndarray):
+    """Uniformly pick an RGB channel from a single uniform variate, remapping
+    it back to [0,1) (NDProfile::selectDistLobe, rlSss.h:30-42).
+    Returns (channel_index, remapped_x)."""
+    idx = jnp.where(x < 0.3333, 0, jnp.where(x > 0.6666, 2, 1))
+    x0 = linearstep(0.0, 0.3333, x)
+    x1 = linearstep(0.3333, 0.6666, x)
+    x2 = linearstep(0.6666, 1.0, x)
+    xr = jnp.where(idx == 0, x0, jnp.where(idx == 1, x1, x2))
+    return idx, xr
+
+
+def nd_sample_radius(p: NDProfile, rx: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF radius sample (NDProfile::getRadius, rlSss.cpp:36-66).
+
+    Picks a channel uniformly, then one of the two exponentials with weight
+    w1/(w1 + 3 w2), then inverts that exponential's truncated CDF.
+    """
+    idx, rx = select_dist_lobe(rx)
+
+    def take(a):
+        a = jnp.broadcast_to(a, jnp.shape(idx) + (3,))
+        return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+
+    d = take(p.distance)
+    w1 = take(p.c1)
+    w2 = take(p.c2)
+    w = w1 / jnp.maximum(w1 + w2 * 3.0, 1e-12)
+
+    use_far = rx > w
+    rx_far = linearstep(w, 1.0, rx)
+    rx_near = linearstep(0.0, w, rx)
+    r_far = jnp.log(jnp.maximum(1.0 - rx_far * w2, 1e-30)) * (-d * 3.0)
+    r_near = jnp.log(jnp.maximum(1.0 - rx_near * w1, 1e-30)) * (-d)
+    r = jnp.where(use_far, r_far, r_near)
+    degenerate = (p.max_radius < EPS) | (d < EPS)
+    return jnp.where(degenerate, 0.0, r)
+
+
+def nd_pdf(p: NDProfile, r: jnp.ndarray) -> jnp.ndarray:
+    """Disk-domain PDF of the radius sampler (NDProfile::getPdf,
+    rlSss.cpp:68-84), averaged over the 3 channels."""
+    d = jnp.maximum(p.distance, EPS)
+    ru = r[..., None]
+    p1 = jnp.exp(-ru / d)
+    p2 = jnp.exp(-ru / d / 3.0)
+    per_ch = (p1 + p2) / d / jnp.maximum(p.c1 + p.c2 * 3.0, 1e-12)
+    pdf = jnp.sum(per_ch, axis=-1) / (TWO_PI * jnp.maximum(r, 1e-12) * 3.0)
+    return jnp.where(p.max_radius < EPS, 1.0, pdf)
+
+
+def nd_eval(p: NDProfile, r: jnp.ndarray) -> jnp.ndarray:
+    """R(r) per channel (NDProfile::evalProfile, rlSss.cpp:86-106).
+    Returns (..., 3)."""
+    denom = 8.0 * jnp.pi * jnp.maximum(r, 1e-12)[..., None]
+    d = p.distance
+    safe_d = jnp.maximum(d, 1e-12)
+    val = (jnp.exp(-r[..., None] / safe_d) + jnp.exp(-r[..., None] / (3.0 * safe_d))) / (
+        denom * safe_d
+    )
+    val = jnp.where(d < EPS, 1.0, val)
+    val = jnp.where(r[..., None] < EPS, 1.0, val)
+    return jnp.where(p.max_radius[..., None] < EPS, 0.0, val)
+
+
+class GaussianProfile(NamedTuple):
+    variance: jnp.ndarray
+    max_radius: jnp.ndarray
+    norm: jnp.ndarray
+
+
+def make_gaussian_profile(distance: jnp.ndarray) -> GaussianProfile:
+    """GaussianProfile::setDistance (rlSss.h:71-76): variance = rmax^2/12.46,
+    truncated at rmax (uses only the x channel of the distance)."""
+    distance = jnp.asarray(distance, jnp.float32)
+    max_radius = distance[..., 0]
+    variance = max_radius * max_radius / 12.46
+    norm = 1.0 - jnp.exp(-max_radius * max_radius * 0.5 / jnp.maximum(variance, 1e-20))
+    return GaussianProfile(variance=variance, max_radius=max_radius, norm=norm)
+
+
+def gaussian_sample_radius(p: GaussianProfile, rx: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(
+        -2.0 * p.variance * jnp.log(jnp.maximum(1.0 - rx * p.norm, 1e-30))
+    )
+
+
+def gaussian_pdf(p: GaussianProfile, r: jnp.ndarray) -> jnp.ndarray:
+    return gaussian_eval_scalar(p, r) / jnp.maximum(p.norm, 1e-12)
+
+
+def gaussian_eval_scalar(p: GaussianProfile, r: jnp.ndarray) -> jnp.ndarray:
+    inv2pi = 1.0 / TWO_PI
+    return inv2pi / jnp.maximum(p.variance, 1e-20) * jnp.exp(
+        -r * r * 0.5 / jnp.maximum(p.variance, 1e-20)
+    )
+
+
+def gaussian_eval(p: GaussianProfile, r: jnp.ndarray) -> jnp.ndarray:
+    return gaussian_eval_scalar(p, r)[..., None] * jnp.ones((3,), jnp.float32)

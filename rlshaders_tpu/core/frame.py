@@ -1,0 +1,63 @@
+"""Orthonormal shading frames (batched).
+
+Counterpart of the reference's `rls::CoordBasis` + `AiBuildLocalFramePolar`
+usage (rlUtil.h:16-19, rlGgx.h:146, rlDisney.cpp:174). A frame is the tuple
+(U, V, N); BSDF code mostly works in the local frame where N = +z, U = +x.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .vecmath import cross, dot, normalize
+
+
+class Frame(NamedTuple):
+    """Batched orthonormal basis; each field is (..., 3)."""
+
+    u: jnp.ndarray
+    v: jnp.ndarray
+    n: jnp.ndarray
+
+
+def build_frame_polar(n: jnp.ndarray) -> Frame:
+    """Deterministic ONB from a normal, polar-coordinate style.
+
+    Equivalent role to AiBuildLocalFramePolar: U points along the direction of
+    increasing theta (d n / d theta), V along increasing phi. Stable fallback
+    at the +-z poles. The exact tangent orientation only affects the phase of
+    anisotropic highlights, same as in the host renderer.
+    """
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    sin_theta = jnp.sqrt(jnp.maximum(x * x + y * y, 0.0))
+    degenerate = sin_theta < 1e-6
+    inv = jnp.where(degenerate, 0.0, 1.0 / jnp.maximum(sin_theta, 1e-12))
+    cos_phi = jnp.where(degenerate, 1.0, x * inv)
+    sin_phi = jnp.where(degenerate, 0.0, y * inv)
+    # V = d n / d phi (normalized) = (-sin_phi, cos_phi, 0)
+    v = jnp.stack([-sin_phi, cos_phi, jnp.zeros_like(z)], axis=-1)
+    # U = V x N completes the right-handed frame (U, V, N)
+    u = cross(v, n)
+    return Frame(u=normalize(u), v=normalize(v), n=n)
+
+
+def build_frame_from_tangent(n: jnp.ndarray, dpdu: jnp.ndarray) -> Frame:
+    """Frame aligned with a surface tangent, as the SSS sampler builds it
+    (rlSss.h:151-158): V = normalize(N x U0), U = V x N."""
+    u0 = normalize(dpdu)
+    v = normalize(cross(n, u0))
+    u = cross(v, n)
+    return Frame(u=u, v=v, n=n)
+
+
+def to_local(frame: Frame, w: jnp.ndarray) -> jnp.ndarray:
+    """World direction -> local frame coordinates (x=U, y=V, z=N)."""
+    return jnp.stack([dot(w, frame.u), dot(w, frame.v), dot(w, frame.n)], axis=-1)
+
+
+def to_world(frame: Frame, w: jnp.ndarray) -> jnp.ndarray:
+    """Local (x, y, z) -> world: x*U + y*V + z*N (AiV3RotateToFrame)."""
+    return (
+        w[..., 0:1] * frame.u + w[..., 1:2] * frame.v + w[..., 2:3] * frame.n
+    )
