@@ -275,8 +275,10 @@ def ndf_pdf(params: GGXParams, wo: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
 # Reflection / refraction lobes
 # ---------------------------------------------------------------------------
 
-def reflection_term(params: GGXParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
-    """Scalar reflection BRDF value, Walter Eq.20 (rlGgx.h:304-313)."""
+def reflection_parts(params: GGXParams, wo: jnp.ndarray, wi: jnp.ndarray):
+    """(fresnel, G*D/(4 |l.n||v.n|)) of Walter Eq.20 — split so callers can
+    substitute other Fresnel models (the Arnold standard shader uses Schlick
+    with artist F0 or no Fresnel at all)."""
     sign = jnp.sign(wo[..., 2])
     sign = jnp.where(sign == 0.0, 1.0, sign)
     hr = normalize(wo + wi) * sign[..., None]
@@ -285,7 +287,13 @@ def reflection_term(params: GGXParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.
     vdotn = jnp.abs(wo[..., 2])
     g = smith_g(wo, wi, hr, params.alpha_g)
     d = d_ggx_aniso(hr, params.alpha_x, params.alpha_y)
-    return f * g * d * 0.25 / jnp.maximum(ldotn * vdotn, 1e-12)
+    return f, g * d * 0.25 / jnp.maximum(ldotn * vdotn, 1e-12)
+
+
+def reflection_term(params: GGXParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """Scalar reflection BRDF value, Walter Eq.20 (rlGgx.h:304-313)."""
+    f, gd = reflection_parts(params, wo, wi)
+    return f * gd
 
 
 def refraction_term(params: GGXParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,145 @@
+"""Command-line renderer and testsuite harness.
+
+The `render` subcommand is the kick-equivalent entry point
+(`kick -i scene.ass -o out.exr`, reference testsuite/runtest.py:193-218);
+`test` reproduces the runtest.py flow: render each case and gate on
+RMS error < 0.005 against the reference's own golden images
+(runtest.py:220-244).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build(scene_path: str):
+    from .accel import bvh as bvhmod
+    from .scene import build as buildmod
+
+    scene = buildmod.build(scene_path)
+    tree = bvhmod.build(
+        np.asarray(scene.geometry.v0),
+        np.asarray(scene.geometry.e1),
+        np.asarray(scene.geometry.e2),
+    )
+    return scene, tree
+
+
+def cmd_render(args):
+    from .integrator import wavefront
+    from .io import exr
+
+    t0 = time.time()
+    scene, tree = _build(args.scene)
+    t_build = time.time() - t0
+    print(f"[rls] scene: {scene.geometry.v0.shape[0]} tris, "
+          f"{len(scene.material_names)} materials, build {t_build:.2f}s")
+
+    t0 = time.time()
+    out = wavefront.render(
+        scene, tree, seed=args.seed,
+        tile_pixels=args.tile,
+        aa_samples=args.aa, xres=args.res, yres=args.res,
+    )
+    t_render = time.time() - t0
+    img = out["RGBA"]
+    xres = img.shape[1]
+    aa = args.aa or scene.options.aa_samples
+    n_samples = img.shape[0] * img.shape[1] * aa * aa
+    print(f"[rls] render {img.shape[1]}x{img.shape[0]} aa={aa} in {t_render:.2f}s "
+          f"({n_samples / max(t_render, 1e-9) / 1e6:.2f} Mcam-rays/s)")
+
+    exr.write_rgb(args.output, img)
+    print(f"[rls] wrote {args.output}")
+    if args.aovs:
+        base, ext = os.path.splitext(args.output)
+        for name, aov in out.items():
+            if name == "RGBA":
+                continue
+            exr.write_rgb(f"{base}.{name}{ext}", aov)
+            print(f"[rls] wrote {base}.{name}{ext}")
+
+
+def cmd_test(args):
+    from .integrator import wavefront
+    from .io import exr
+
+    suite = args.suite
+    cases = (
+        [f"{int(c):04d}" for c in args.cases.split(",")]
+        if args.cases
+        else sorted(os.listdir(os.path.join(suite, "mtoa")))
+    )
+    results = []
+    for case in cases:
+        case_dir = os.path.join(suite, "mtoa", case)
+        data = os.path.join(case_dir, "data")
+        scenes = [f for f in os.listdir(data) if f.endswith(".ass")]
+        scene_path = os.path.join(data, scenes[0])
+        ref_path = os.path.join(case_dir, "ref", "ref.exr")
+        readme = os.path.join(case_dir, "README")
+        desc = open(readme).readline().strip() if os.path.exists(readme) else ""
+        try:
+            t0 = time.time()
+            scene, tree = _build(scene_path)
+            out = wavefront.render(scene, tree, aa_samples=args.aa, tile_pixels=args.tile)
+            dt = time.time() - t0
+            ref = exr.read_rgb(ref_path)
+            test = out["RGBA"]
+            if test.shape != ref.shape:
+                from PIL import Image
+                im = Image.fromarray((np.clip(test, 0, 1) * 255).astype(np.uint8))
+                test = np.asarray(im.resize(ref.shape[1::-1]), np.float32) / 255
+            err = exr.rmse(ref, test)
+            ok = err < args.threshold
+            results.append((case, desc, ok, err, dt))
+            print(f"[{case}] {'OK  ' if ok else 'FAIL'} rmse={err:.5f} {dt:.1f}s  {desc}")
+            if args.save:
+                exr.write_rgb(os.path.join(case_dir, "ref", "test_tpu.exr"), test)
+        except Exception as e:  # noqa: BLE001
+            results.append((case, desc, False, float("nan"), 0.0))
+            print(f"[{case}] ERROR {type(e).__name__}: {e}")
+    n_ok = sum(1 for r in results if r[2])
+    print(f"\n{n_ok}/{len(results)} passed (gate rmse < {args.threshold})")
+    if args.report:
+        with open(args.report, "w") as f:
+            for case, desc, ok, err, dt in results:
+                f.write(f"{case},{desc},{'OK' if ok else 'FAIL'},{err:.6f},{dt:.1f}\n")
+    return 0 if n_ok == len(results) else 1
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rlshaders_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a .ass scene to EXR")
+    r.add_argument("scene")
+    r.add_argument("-o", "--output", default="out.exr")
+    r.add_argument("--res", type=int, default=None)
+    r.add_argument("--aa", type=int, default=None)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--tile", type=int, default=4096)
+    r.add_argument("--aovs", action="store_true", help="write AOV images too")
+    r.set_defaults(fn=cmd_render)
+
+    t = sub.add_parser("test", help="run the golden-image testsuite")
+    t.add_argument("--suite", default="/root/reference/testsuite")
+    t.add_argument("--cases", default=None, help="comma-separated case numbers")
+    t.add_argument("--aa", type=int, default=None)
+    t.add_argument("--tile", type=int, default=4096)
+    t.add_argument("--threshold", type=float, default=0.005)
+    t.add_argument("--save", action="store_true")
+    t.add_argument("--report", default=None)
+    t.set_defaults(fn=cmd_test)
+
+    args = ap.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
