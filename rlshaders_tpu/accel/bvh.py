@@ -206,7 +206,10 @@ def intersect(
     """
     r = o.shape[0]
     n_nodes = bvh.bbox_min.shape[0]
-    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+    # near-zero components: use a LARGE constant (sign-independent) so the
+    # slab test degenerates to +-huge; sign(d)*1e12+1e12 is 0 for tiny
+    # NEGATIVE d, which silently collapsed the slab interval
+    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0), 1e12)
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     if exclude_tri is None:
         exclude_tri = jnp.full((r,), -1, jnp.int32)
@@ -290,7 +293,10 @@ def occluded(
     blocked by an opaque, shadow-visible triangle."""
     r = o.shape[0]
     n_nodes = bvh.bbox_min.shape[0]
-    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+    # near-zero components: use a LARGE constant (sign-independent) so the
+    # slab test degenerates to +-huge; sign(d)*1e12+1e12 is 0 for tiny
+    # NEGATIVE d, which silently collapsed the slab interval
+    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, 1.0), 1e12)
     if exclude_tri is None:
         exclude_tri = jnp.full((r,), -1, jnp.int32)
     ov0 = v0[bvh.tri_order]

@@ -104,6 +104,19 @@ def make_params(
 # Lobe terms
 # ---------------------------------------------------------------------------
 
+def expand_sample_axis(params: DisneyParams) -> DisneyParams:
+    """Insert a broadcast sample axis after the batch axis on every field
+    (scalar fields pass through — they broadcast already)."""
+    import jax
+
+    def f(a):
+        if a.ndim == 0:
+            return a
+        return jnp.expand_dims(a, 1)
+
+    return jax.tree_util.tree_map(f, params)
+
+
 def _schlick5(x):
     return jnp.clip(1.0 - x, 0.0, 1.0) ** 5
 
@@ -208,39 +221,30 @@ def pdf_diffuse(params: DisneyParams, wo, wi) -> jnp.ndarray:
 
 def _sample_gtr1(params: DisneyParams, rx, ry) -> jnp.ndarray:
     """GTR1 inverse-CDF sample (rlDisney.cpp:393-404). NOTE: the reference
-    uses the RAW roughness^2 here (mRoughness is raw in that scope)."""
+    uses the RAW roughness^2 here (mRoughness is raw in that scope).
+
+    pow(a2, 1-ry) is evaluated as exp((1-ry)*log(a2)) so the log is hoisted
+    per shading point instead of per sample."""
     phi = TWO_PI * rx
     a2 = params.roughness * params.roughness
     degenerate = jnp.abs(a2 - 1.0) < 1e-6
     safe_a2 = jnp.where(degenerate, 0.5, a2)
+    log_a2 = jnp.log(jnp.maximum(safe_a2, 1e-20))
+    pow_term = jnp.exp((1.0 - ry) * log_a2)
     cos_t = jnp.where(
         degenerate,
         jnp.sqrt(jnp.maximum(1.0 - ry, 0.0)),
-        jnp.sqrt(
-            jnp.clip((1.0 - jnp.power(safe_a2, 1.0 - ry)) / (1.0 - safe_a2), 0.0, 1.0)
-        ),
+        jnp.sqrt(jnp.clip((1.0 - pow_term) / (1.0 - safe_a2), 0.0, 1.0)),
     )
     return spherical_direction(cos_t, phi)
 
 
 def _sample_gtr2_aniso_vndf(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
-    """GTR2 anisotropic visible-normal sample (rlDisney.cpp:467-502); the same
-    slope-space machinery as the GGX kernel."""
-    cos_theta_v = jnp.clip(wo[..., 2], -1.0, 1.0)
-    phi_v = jnp.arctan2(wo[..., 1], wo[..., 0])
-    v = spherical_direction(cos_theta_v, phi_v)
-    v = jnp.stack(
-        [v[..., 0] * params.alpha_x, v[..., 1] * params.alpha_y, v[..., 2]], axis=-1
-    )
-    v = normalize(v)
-    on_pole = v[..., 2] >= 1.0 - EPS
-    theta = jnp.where(on_pole, 0.0, jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0)))
-    phi = jnp.where(on_pole, 0.0, jnp.arctan2(v[..., 1], v[..., 0]))
-    slope_x, slope_y = sample_slope(theta, rx, ry)
-    cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)
-    mx = -(cos_phi * slope_x - sin_phi * slope_y) * params.alpha_x
-    my = -(sin_phi * slope_x + cos_phi * slope_y) * params.alpha_y
-    return normalize(jnp.stack([mx, my, jnp.ones_like(mx)], axis=-1))
+    """GTR2 anisotropic visible-normal sample (rlDisney.cpp:467-502); the
+    same trig-free slope-space machinery as the GGX kernel."""
+    from .ggx import sample_vndf
+
+    return sample_vndf(wo, params.alpha_x, params.alpha_y, rx, ry)
 
 
 def sample_specular(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:

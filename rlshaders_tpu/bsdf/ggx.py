@@ -156,17 +156,17 @@ def _sample_slope_uniform(rx, ry):
     return r * jnp.cos(phi), r * jnp.sin(phi)
 
 
-def sample_slope(theta, rx, ry):
+def sample_slope_tan(tan_theta, near_normal, rx, ry):
     """Sample slopes of the visible-normal distribution for a stretched view
-    direction at polar angle `theta` (behavioural match of rlGgx.cpp:14-61).
+    direction with polar tangent `tan_theta` (behavioural match of
+    rlGgx.cpp:14-61, reparameterized to avoid the theta->tan round trip).
 
-    Branchless: the `theta ~ 0` and degenerate `A^2 ~ 1` paths fall back to
+    Branchless: the near-normal and degenerate `A^2 ~ 1` paths fall back to
     the uniform slope sample via masks.
     """
     ux, uy = _sample_slope_uniform(rx, ry)
 
-    tan_theta = jnp.tan(jnp.clip(theta, 0.0, jnp.pi / 2 - 1e-4))
-    b = tan_theta
+    b = jnp.maximum(tan_theta, 0.0)
     b2 = b * b
     g1 = 2.0 / (1.0 + jnp.sqrt(1.0 + b2))
 
@@ -190,7 +190,6 @@ def sample_slope(theta, rx, ry):
     )
     slope_y = sign * z * jnp.sqrt(1.0 + slope_x * slope_x)
 
-    near_normal = theta < EPS
     fallback = near_normal | degenerate
     return (
         jnp.where(fallback, ux, slope_x),
@@ -198,31 +197,37 @@ def sample_slope(theta, rx, ry):
     )
 
 
+def sample_slope(theta, rx, ry):
+    """Angle-parameterized wrapper kept for reference parity in tests."""
+    tan_theta = jnp.tan(jnp.clip(theta, 0.0, jnp.pi / 2 - 1e-4))
+    return sample_slope_tan(tan_theta, theta < EPS, rx, ry)
+
+
 def sample_vndf(wo: jnp.ndarray, alpha_x, alpha_y, rx, ry) -> jnp.ndarray:
     """Sample a visible microfacet normal (local frame).
 
-    Behavioural match of VNDFKernel::evalSample (rlGgx.cpp:63-99): stretch the
-    view direction by (alpha_x, alpha_y), sample slopes, rotate/unstretch.
+    Behavioural match of VNDFKernel::evalSample (rlGgx.cpp:63-99): stretch
+    the view direction by (alpha_x, alpha_y), sample slopes, rotate and
+    unstretch. The reference's (cos, phi) round trip through
+    sphericalDirection is the identity, so all trig (atan2/acos/tan/sin/cos)
+    is replaced by algebra on the stretched vector — ~6 fewer
+    transcendentals per sample on the VPU.
     """
-    # View direction is already in the local frame; rebuild from (cos, phi)
-    # exactly as the reference does to share its pole conventions.
-    cos_theta_v = jnp.clip(wo[..., 2], -1.0, 1.0)
-    phi_v = jnp.arctan2(wo[..., 1], wo[..., 0])
-    v = spherical_direction(cos_theta_v, phi_v)
-
     v = jnp.stack(
-        [v[..., 0] * alpha_x, v[..., 1] * alpha_y, v[..., 2]], axis=-1
+        [wo[..., 0] * alpha_x, wo[..., 1] * alpha_y, wo[..., 2]], axis=-1
     )
     v = normalize(v)
 
-    on_pole = v[..., 2] >= 1.0 - EPS
-    theta = jnp.where(on_pole, 0.0, jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0)))
-    phi = jnp.where(on_pole, 0.0, jnp.arctan2(v[..., 1], v[..., 0]))
+    vz = jnp.clip(v[..., 2], -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - vz * vz))
+    on_pole = vz >= 1.0 - EPS
+    inv_sin = 1.0 / jnp.maximum(sin_t, 1e-12)
+    cos_phi = jnp.where(on_pole, 1.0, v[..., 0] * inv_sin)
+    sin_phi = jnp.where(on_pole, 0.0, v[..., 1] * inv_sin)
+    tan_theta = sin_t / jnp.maximum(jnp.abs(vz), 1e-12)
 
-    slope_x, slope_y = sample_slope(theta, rx, ry)
+    slope_x, slope_y = sample_slope_tan(tan_theta, on_pole, rx, ry)
 
-    cos_phi = jnp.cos(phi)
-    sin_phi = jnp.sin(phi)
     mx = -(cos_phi * slope_x - sin_phi * slope_y) * alpha_x
     my = -(sin_phi * slope_x + cos_phi * slope_y) * alpha_y
     m = jnp.stack([mx, my, jnp.ones_like(mx)], axis=-1)

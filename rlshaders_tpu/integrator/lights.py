@@ -149,3 +149,67 @@ def sample_sky(radiance, n, u1, u2) -> LightSample:
 
 def pdf_sky(n, wi) -> jnp.ndarray:
     return jnp.maximum(dot(n, wi), 0.0) * INV_PI
+
+
+# ---------------------------------------------------------------------------
+# Batched (lights-as-an-axis) samplers: one call covers every light x sample,
+# so the compiled graph holds a single BSDF-eval and a single shadow query.
+# ---------------------------------------------------------------------------
+
+def sample_quads_batched(verts, normal, area, radiance, p, u) -> LightSample:
+    """verts (L,4,3), p (N,3), u (N,L,S,2) -> LightSample fields (N,L,S,...)."""
+    e1 = (verts[:, 1] - verts[:, 0])[None, :, None]      # (1,L,1,3)
+    e2 = (verts[:, 3] - verts[:, 0])[None, :, None]
+    q = verts[None, :, None, 0] + u[..., 0:1] * e1 + u[..., 1:2] * e2
+    to_l = q - p[:, None, None, :]
+    dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l / dist[..., None]
+    cos_l = dot(-wi, normal[None, :, None])
+    visible = cos_l > 1e-6
+    pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * area[None, :, None], 1e-12)
+    return LightSample(
+        direction=wi,
+        dist=dist,
+        radiance=jnp.where(visible[..., None], radiance[None, :, None], 0.0),
+        pdf=jnp.where(visible, pdf, 0.0),
+    )
+
+
+def sample_disks_batched(center, uax, vax, normal, area, radiance, p, u) -> LightSample:
+    """center (L,3), p (N,3), u (N,L,S,2) -> (N,L,S,...)."""
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    q = (
+        center[None, :, None]
+        + (r * jnp.cos(phi))[..., None] * uax[None, :, None]
+        + (r * jnp.sin(phi))[..., None] * vax[None, :, None]
+    )
+    to_l = q - p[:, None, None, :]
+    dist2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l / dist[..., None]
+    cos_l = dot(-wi, normal[None, :, None])
+    visible = cos_l > 1e-6
+    pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * area[None, :, None], 1e-12)
+    return LightSample(
+        direction=wi,
+        dist=dist,
+        radiance=jnp.where(visible[..., None], radiance[None, :, None], 0.0),
+        pdf=jnp.where(visible, pdf, 0.0),
+    )
+
+
+def sample_sky_batched(radiance, nf, u) -> LightSample:
+    """nf (N,3), u (N,1,S,2) -> (N,1,S,...) cosine samples about nf."""
+    local = cosine_sample_hemisphere(u[..., 0], u[..., 1])
+    frame = build_frame_polar(nf[:, None, None, :])
+    wi = to_world(frame, local)
+    cos_t = jnp.maximum(local[..., 2], 0.0)
+    pdf = jnp.maximum(cos_t * INV_PI, 1e-9)
+    return LightSample(
+        direction=wi,
+        dist=jnp.full(pdf.shape, 1e30),
+        radiance=jnp.broadcast_to(radiance, wi.shape),
+        pdf=pdf,
+    )

@@ -1,23 +1,25 @@
-"""Wavefront path-tracing integrator.
+"""Wavefront path-tracing integrator (staged).
 
 The TPU-native inversion of the reference's recursive callback architecture
-(SURVEY.md section 7): SoA ray buffers, one fused shading stage per bounce
-generation, all under jit. The light transport replicates the reference's
-estimator structure:
+(SURVEY.md section 7). The frame is rendered as a pipeline of fused stages:
 
-* camera hit: direct light MIS loop (diffuse Oren-Nayar + specular lobes,
-  rlGgx.cpp:285-295) + indirect diffuse/glossy splitting with GI_*_samples^2
-  rays (AiBRDFIntegrate, rlGgx.cpp:307-323) + rough refraction
-  (integrateRefract, rlGgx.h:205-246).
-* secondary hits: direct light only (the plugin shaders integrate indirect
-  lobes only on camera rays), refraction continues to GI_refraction_depth.
-* area lights are "virtual geometry": BSDF-sampled rays pick up quad/disk
-  emission analytically with balance-heuristic MIS against the light
-  sampler; the skydome is picked up at ray escape the same way (this is
-  exactly the two-strategy MIS AiEvaluateLightSample performs).
+    trace -> shade_camera(prepare + light grid) -> occlude -> reduce+spawn
+          -> per lobe family: trace -> pickup+light grid -> occlude -> reduce
+          -> refraction chain to GI_refraction_depth
 
-Generation sizes are static per scene config, so the whole frame compiles to
-a fixed pipeline; the image is rendered in pixel tiles to bound memory.
+Each ray-tracing step is the Pallas cluster kernel (its own compiled
+program); everything between two traces is one jitted stage. Intermediate
+SoA buffers never leave the device. This staging keeps each compiled graph
+small (seconds to compile) while XLA still fuses all shading math.
+
+Light transport replicates the reference estimator:
+* camera hit: direct light MIS loop (rlGgx.cpp:285-295) + indirect
+  diffuse/glossy splitting with GI_*_samples^2 rays (rlGgx.cpp:307-323) +
+  rough refraction (integrateRefract, rlGgx.h:205-246).
+* secondary hits: direct light only; refraction continues to depth.
+* area lights are "virtual geometry": BSDF rays pick up quad/disk emission
+  analytically, balance-heuristic MIS against the light sampler; the skydome
+  is picked up at ray escape (the two-strategy MIS of AiEvaluateLightSample).
 """
 from __future__ import annotations
 
@@ -28,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..accel import bvh as bvhmod
+from ..accel import trace as tracemod
 from ..core import rng
 from ..core.frame import build_frame_polar, to_local, to_world
 from ..core.vecmath import dot, normalize
@@ -49,197 +51,198 @@ RAY_EPS = 1e-3
 
 
 class SceneStatic(NamedTuple):
-    """Host-side (trace-time static) scene facts: which light slots are live,
-    their sample counts, and whether any material refracts. Keeping these as
-    Python values lets the tile function specialize the compiled pipeline."""
-
     quad_valid: tuple
     disk_valid: tuple
     quad_samples: tuple
     disk_samples: tuple
     has_refract: bool
+    has_skin: bool
 
     @staticmethod
     def of(scene: Scene) -> "SceneStatic":
+        from ..scene.build import MAT_SKIN as _SKIN
+
         return SceneStatic(
             quad_valid=tuple(bool(x) for x in np.asarray(scene.quad_lights.valid)),
             disk_valid=tuple(bool(x) for x in np.asarray(scene.disk_lights.valid)),
             quad_samples=tuple(int(x) for x in np.asarray(scene.quad_lights.samples)),
             disk_samples=tuple(int(x) for x in np.asarray(scene.disk_lights.samples)),
             has_refract=bool(np.any(np.asarray(scene.materials.kt) > 1e-5)),
+            has_skin=bool(np.any(np.asarray(scene.materials.mtype) == _SKIN)),
         )
 
 
 class Surface(NamedTuple):
-    p: jnp.ndarray        # (N, 3) hit position
-    ng: jnp.ndarray       # geometric normal
-    ns: jnp.ndarray       # interpolated shading normal
-    nf: jnp.ndarray       # forward-facing shading normal
-    uv: jnp.ndarray       # (N, 2)
+    p: jnp.ndarray
+    ng: jnp.ndarray
+    ns: jnp.ndarray
+    nf: jnp.ndarray
+    uv: jnp.ndarray
     mat_id: jnp.ndarray
     mesh_id: jnp.ndarray
     tri: jnp.ndarray
     entering: jnp.ndarray
-    valid: jnp.ndarray    # hit mask
+    valid: jnp.ndarray
 
 
-def _surface(scene: Scene, hit: bvhmod.Hit, o, d) -> Surface:
+def _surface(scene: Scene, t, tri_in, uu, vv, o, d) -> Surface:
     g = scene.geometry
-    tri = jnp.maximum(hit.tri, 0)
-    valid = hit.tri >= 0
-    v0 = g.v0[tri]
+    tri = jnp.maximum(tri_in, 0)
+    valid = tri_in >= 0
     e1 = g.e1[tri]
     e2 = g.e2[tri]
-    p = o + d * hit.t[..., None]
+    p = o + d * t[..., None]
     ng = normalize(jnp.cross(e1, e2))
-    w = 1.0 - hit.u - hit.v
+    w = 1.0 - uu - vv
     ns = normalize(
-        w[..., None] * g.n0[tri] + hit.u[..., None] * g.n1[tri] + hit.v[..., None] * g.n2[tri]
+        w[..., None] * g.n0[tri] + uu[..., None] * g.n1[tri] + vv[..., None] * g.n2[tri]
     )
     uv = (
-        w[..., None] * g.uv0[tri] + hit.u[..., None] * g.uv1[tri] + hit.v[..., None] * g.uv2[tri]
+        w[..., None] * g.uv0[tri] + uu[..., None] * g.uv1[tri] + vv[..., None] * g.uv2[tri]
     )
-    # align Ng with Ns side convention: Nf faces the incoming ray
     entering = dot(ng, d) < 0.0
     sign = jnp.where(dot(ns, d) < 0.0, 1.0, -1.0)
     nf = ns * sign[..., None]
     return Surface(
         p=p, ng=ng, ns=ns, nf=nf, uv=uv,
-        mat_id=g.mat_id[tri], mesh_id=g.mesh_id[tri], tri=jnp.where(valid, hit.tri, -1),
+        mat_id=g.mat_id[tri], mesh_id=g.mesh_id[tri],
+        tri=jnp.where(valid, tri_in, -1),
         entering=entering, valid=valid,
     )
 
 
-def _occluded(scene, bvh, p, wi, dist, exclude_tri):
-    g = scene.geometry
-    return bvhmod.occluded(
-        bvh, g.v0, g.e1, g.e2,
-        p + wi * RAY_EPS, wi, dist - 2 * RAY_EPS,
-        exclude_tri=exclude_tri,
-        vis_mask=VIS_SHADOW,
-        tri_visibility=g.visibility,
-        tri_opaque=g.opaque,
+def _expand(matg):
+    return jax.tree_util.tree_map(lambda a: jnp.expand_dims(a, 1), matg)
+
+
+class LightGrid(NamedTuple):
+    """The (N, K) grid of light samples for one shading batch."""
+
+    wi: jnp.ndarray       # (N, K, 3)
+    dist: jnp.ndarray     # (N, K)
+    rad: jnp.ndarray      # (N, K, 3)
+    pdf: jnp.ndarray      # (N, K)
+    w_d: jnp.ndarray      # (K,) per-column diffuse weight (affect/ns)
+    w_s: jnp.ndarray      # (K,)
+    nl: jnp.ndarray       # (K,) sample counts for MIS
+
+
+def _light_grid(scene, static, surf, key, camera_level) -> LightGrid:
+    n = surf.p.shape[0]
+    dirs, dists, rads, pdfs = [], [], [], []
+    col_w_d, col_w_s, col_nl = [], [], []
+
+    ql = scene.quad_lights
+    if sum(static.quad_valid):
+        lsel = [i for i, v in enumerate(static.quad_valid) if v]
+        s_per = max(static.quad_samples[i] for i in lsel) if camera_level else 1
+        s = s_per * s_per if camera_level else 1
+        u = (
+            rng.stratified2(rng.fold(key, 101), (n, len(lsel)), s_per)
+            if s > 1
+            else rng.uniform2(rng.fold(key, 101), (n, len(lsel), 1))
+        )
+        idx = jnp.asarray(lsel)
+        ls = lightsmod.sample_quads_batched(
+            ql.verts[idx], ql.normal[idx], ql.area[idx], ql.radiance[idx],
+            surf.p, u,
+        )
+        k = len(lsel) * s
+        dirs.append(ls.direction.reshape(n, k, 3))
+        dists.append(ls.dist.reshape(n, k))
+        rads.append(ls.radiance.reshape(n, k, 3))
+        pdfs.append(ls.pdf.reshape(n, k))
+        for i in lsel:
+            aff_d = float(np.asarray(ql.affect_diffuse)[i]) * float(
+                np.asarray(ql.diffuse_weight)[i]
+            )
+            aff_s = float(np.asarray(ql.affect_specular)[i]) * float(
+                np.asarray(ql.specular_weight)[i]
+            )
+            col_w_d += [aff_d / s] * s
+            col_w_s += [aff_s / s] * s
+            col_nl += [s] * s
+
+    dl = scene.disk_lights
+    if sum(static.disk_valid):
+        lsel = [i for i, v in enumerate(static.disk_valid) if v]
+        s_per = max(static.disk_samples[i] for i in lsel) if camera_level else 1
+        s = s_per * s_per if camera_level else 1
+        u = (
+            rng.stratified2(rng.fold(key, 301), (n, len(lsel)), s_per)
+            if s > 1
+            else rng.uniform2(rng.fold(key, 301), (n, len(lsel), 1))
+        )
+        idx = jnp.asarray(lsel)
+        ls = lightsmod.sample_disks_batched(
+            dl.center[idx], dl.u[idx], dl.v[idx], dl.normal[idx], dl.area[idx],
+            dl.radiance[idx], surf.p, u,
+        )
+        k = len(lsel) * s
+        dirs.append(ls.direction.reshape(n, k, 3))
+        dists.append(ls.dist.reshape(n, k))
+        rads.append(ls.radiance.reshape(n, k, 3))
+        pdfs.append(ls.pdf.reshape(n, k))
+        for i in lsel:
+            col_w_d += [float(np.asarray(dl.affect_diffuse)[i]) / s] * s
+            col_w_s += [float(np.asarray(dl.affect_specular)[i]) / s] * s
+            col_nl += [s] * s
+
+    if scene.sky.exists:
+        s = max(scene.sky.samples, 1) if camera_level else 1
+        u = rng.uniform2(rng.fold(key, 501), (n, 1, s))
+        ls = lightsmod.sample_sky_batched(scene.sky.radiance, surf.nf, u)
+        dirs.append(ls.direction.reshape(n, s, 3))
+        dists.append(ls.dist.reshape(n, s))
+        rads.append(ls.radiance.reshape(n, s, 3))
+        pdfs.append(ls.pdf.reshape(n, s))
+        col_w_d += [float(scene.sky.affect_diffuse) / s] * s
+        col_w_s += [float(scene.sky.affect_specular) / s] * s
+        col_nl += [s] * s
+
+    return LightGrid(
+        wi=jnp.concatenate(dirs, axis=1),
+        dist=jnp.concatenate(dists, axis=1),
+        rad=jnp.concatenate(rads, axis=1),
+        pdf=jnp.concatenate(pdfs, axis=1),
+        w_d=jnp.asarray(col_w_d, jnp.float32),
+        w_s=jnp.asarray(col_w_s, jnp.float32),
+        nl=jnp.asarray(col_nl, jnp.float32),
     )
 
 
-def _direct_lighting(
-    scene: Scene,
-    static: SceneStatic,
-    bvh: bvhmod.BVH,
-    surf: Surface,
-    matg: dispatch.MatG,
-    frame,
-    wo_local,
-    key,
-    camera_level: bool,
-    nb_diffuse: int,
-    nb_glossy: int,
-):
-    """Light-strategy direct lighting for one hit batch.
+def _direct_reduce(matg, frame, wo_local, grid: LightGrid, shadowed,
+                   nb_diffuse, nb_glossy):
+    """MIS-weighted reduction of the light grid -> (diffuse, specular).
 
-    Returns (diffuse_rgb, specular_rgb) already divided by sample counts and
-    MIS-weighted against the BSDF strategies (the spawned indirect rays pick
-    up the complementary weight).
+    nb_* are the BSDF-strategy sample counts competing in the MIS. At
+    secondary hits no BSDF rays are spawned, so callers pass 0 and the light
+    strategy takes full weight — otherwise the BSDF-weighted share of the
+    energy would be silently dropped.
     """
-    n = surf.p.shape[0]
-    diffuse = jnp.zeros((n, 3))
-    specular = jnp.zeros((n, 3))
+    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+    wi_l = to_local(frame_b, grid.wi)
+    matg_b = _expand(matg)
+    wo_b = wo_local[:, None, :]
+    fd, pd = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
+    fs, ps = dispatch.eval_specular(matg_b, wo_b, wi_l)
 
-    ql = scene.quad_lights
-    n_quads = int(ql.verts.shape[0])
-    for li in range(n_quads):
-        if not static.quad_valid[li]:
-            continue
-        ns = static.quad_samples[li] ** 2 if camera_level else 1
-        k = rng.fold(key, 101 + li)
-        u = rng.stratified2(k, (n,), int(np.sqrt(ns))) if ns > 1 else rng.uniform2(
-            k, (n, 1)
-        )
-        d_acc = jnp.zeros((n, 3))
-        s_acc = jnp.zeros((n, 3))
-        for s in range(ns):
-            ls = lightsmod.sample_quad(
-                ql.verts[li], ql.normal[li], ql.area[li], ql.radiance[li],
-                surf.p, u[:, s, 0], u[:, s, 1],
-            )
-            wi_l = to_local(frame, ls.direction)
-            fd, pd = dispatch.eval_diffuse(matg, wo_local, wi_l)
-            fs, ps = dispatch.eval_specular(matg, wo_local, wi_l)
-            lit = (ls.pdf > 0.0) & ((fd[..., 0] + fs[..., 0] + fd[..., 1] + fs[..., 1] + fd[..., 2] + fs[..., 2]) != 0.0)
-            shadowed = _occluded(scene, bvh, surf.p, ls.direction, ls.dist, surf.tri)
-            vis = lit & ~shadowed
-            inv_pdf = jnp.where(ls.pdf > 0, 1.0 / jnp.maximum(ls.pdf, 1e-12), 0.0)
-            wl_d = lightsmod.mis_weight(ns * ls.pdf, nb_diffuse * pd)
-            wl_s = lightsmod.mis_weight(ns * ls.pdf, nb_glossy * ps)
-            contrib = ls.radiance * (vis * inv_pdf)[..., None]
-            d_acc = d_acc + fd * contrib * wl_d[..., None]
-            s_acc = s_acc + fs * contrib * wl_s[..., None]
-        aff_d = ql.affect_diffuse[li] & True
-        aff_s = ql.affect_specular[li] & True
-        diffuse = diffuse + jnp.where(aff_d, 1.0, 0.0) * ql.diffuse_weight[li] * d_acc / ns
-        specular = specular + jnp.where(aff_s, 1.0, 0.0) * ql.specular_weight[li] * s_acc / ns
-
-    dl = scene.disk_lights
-    n_disks = int(dl.center.shape[0])
-    for li in range(n_disks):
-        if not static.disk_valid[li]:
-            continue
-        ns = static.disk_samples[li] ** 2 if camera_level else 1
-        k = rng.fold(key, 301 + li)
-        u = rng.stratified2(k, (n,), int(np.sqrt(ns))) if ns > 1 else rng.uniform2(
-            k, (n, 1)
-        )
-        d_acc = jnp.zeros((n, 3))
-        s_acc = jnp.zeros((n, 3))
-        for s in range(ns):
-            ls = lightsmod.sample_disk(
-                dl.center[li], dl.u[li], dl.v[li], dl.normal[li], dl.area[li],
-                dl.radiance[li], surf.p, u[:, s, 0], u[:, s, 1],
-            )
-            wi_l = to_local(frame, ls.direction)
-            fd, pd = dispatch.eval_diffuse(matg, wo_local, wi_l)
-            fs, ps = dispatch.eval_specular(matg, wo_local, wi_l)
-            shadowed = _occluded(scene, bvh, surf.p, ls.direction, ls.dist, surf.tri)
-            vis = (ls.pdf > 0.0) & ~shadowed
-            inv_pdf = jnp.where(ls.pdf > 0, 1.0 / jnp.maximum(ls.pdf, 1e-12), 0.0)
-            wl_d = lightsmod.mis_weight(ns * ls.pdf, nb_diffuse * pd)
-            wl_s = lightsmod.mis_weight(ns * ls.pdf, nb_glossy * ps)
-            contrib = ls.radiance * (vis * inv_pdf)[..., None]
-            d_acc = d_acc + fd * contrib * wl_d[..., None]
-            s_acc = s_acc + fs * contrib * wl_s[..., None]
-        diffuse = diffuse + jnp.where(dl.affect_diffuse[li], 1.0, 0.0) * d_acc / ns
-        specular = specular + jnp.where(dl.affect_specular[li], 1.0, 0.0) * s_acc / ns
-
-    if scene.sky.exists:
-        ns = max(scene.sky.samples, 1) if camera_level else 1
-        k = rng.fold(key, 501)
-        u = rng.uniform2(k, (n, ns))
-        d_acc = jnp.zeros((n, 3))
-        s_acc = jnp.zeros((n, 3))
-        for s in range(ns):
-            ls = lightsmod.sample_sky(scene.sky.radiance, surf.nf, u[:, s, 0], u[:, s, 1])
-            wi_l = to_local(frame, ls.direction)
-            fd, pd = dispatch.eval_diffuse(matg, wo_local, wi_l)
-            fs, ps = dispatch.eval_specular(matg, wo_local, wi_l)
-            shadowed = _occluded(scene, bvh, surf.p, ls.direction, jnp.full((n,), 1e12), surf.tri)
-            vis = (ls.pdf > 0.0) & ~shadowed
-            inv_pdf = jnp.where(ls.pdf > 0, 1.0 / jnp.maximum(ls.pdf, 1e-12), 0.0)
-            wl_d = lightsmod.mis_weight(ns * ls.pdf, nb_diffuse * pd)
-            wl_s = lightsmod.mis_weight(ns * ls.pdf, nb_glossy * ps)
-            contrib = ls.radiance * (vis * inv_pdf)[..., None]
-            d_acc = d_acc + fd * contrib * wl_d[..., None]
-            s_acc = s_acc + fs * contrib * wl_s[..., None]
-        if scene.sky.affect_diffuse:
-            diffuse = diffuse + d_acc / ns
-        if scene.sky.affect_specular:
-            specular = specular + s_acc / ns
-
+    live = (grid.pdf > 0.0) & ~shadowed
+    inv_pdf = jnp.where(live, 1.0 / jnp.maximum(grid.pdf, 1e-12), 0.0)
+    wl_d = (
+        lightsmod.mis_weight(grid.nl * grid.pdf, nb_diffuse * pd)
+        if nb_diffuse > 0 else jnp.ones_like(pd)
+    )
+    wl_s = (
+        lightsmod.mis_weight(grid.nl * grid.pdf, nb_glossy * ps)
+        if nb_glossy > 0 else jnp.ones_like(ps)
+    )
+    diffuse = jnp.sum(grid.rad * (inv_pdf * wl_d * grid.w_d)[..., None] * fd, axis=1)
+    specular = jnp.sum(grid.rad * (inv_pdf * wl_s * grid.w_s)[..., None] * fs, axis=1)
     return diffuse, specular
 
 
-def _light_pickup(scene: Scene, static: SceneStatic, o, d, scene_t, lobe_pdf, nb: int, camera_level: bool):
-    """Emission picked up by BSDF-sampled rays hitting area lights (the BSDF
-    half of the two-strategy MIS). Occlusion uses the scene hit distance."""
+def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level):
     n = o.shape[0]
     out = jnp.zeros((n, 3))
     ql = scene.quad_lights
@@ -257,7 +260,9 @@ def _light_pickup(scene: Scene, static: SceneStatic, o, d, scene_t, lobe_pdf, nb
         if not static.disk_valid[li]:
             continue
         nl = static.disk_samples[li] ** 2 if camera_level else 1
-        hit, t = lightsmod.intersect_disk(dl.center[li], dl.u[li], dl.v[li], dl.normal[li], o, d)
+        hit, t = lightsmod.intersect_disk(
+            dl.center[li], dl.u[li], dl.v[li], dl.normal[li], o, d
+        )
         vis = hit & (t < scene_t)
         cos_l = jnp.abs(dot(-d, dl.normal[li]))
         p_l = (t * t) / jnp.maximum(cos_l * dl.area[li], 1e-12)
@@ -266,8 +271,7 @@ def _light_pickup(scene: Scene, static: SceneStatic, o, d, scene_t, lobe_pdf, nb
     return out
 
 
-def _sky_pickup(scene: Scene, nf_at_origin, d, miss, lobe_pdf, nb: int):
-    """Skydome radiance for escaped BSDF rays, MIS'd vs the sky sampler."""
+def _sky_pickup(scene, nf_at_origin, d, miss, lobe_pdf, nb):
     if not scene.sky.exists:
         return jnp.zeros(d.shape)
     p_l = lightsmod.pdf_sky(nf_at_origin, d)
@@ -275,216 +279,310 @@ def _sky_pickup(scene: Scene, nf_at_origin, d, miss, lobe_pdf, nb: int):
     return jnp.where(miss[..., None], scene.sky.radiance * w[..., None], 0.0)
 
 
-class ShadeOut(NamedTuple):
-    radiance: jnp.ndarray         # (N, 3) emitted+direct at this hit
-    aov_diffuse: jnp.ndarray
-    aov_specular: jnp.ndarray
+class TileRenderer:
+    """Per-(scene, tile-size) staged pipeline with separately jitted stages.
 
+    Pallas trace kernels dispatch between stages; all buffers stay on device.
+    """
 
-def _shade_direct(scene, static, bvh, surf, matg, frame, wo_local, key, camera_level,
-                  nb_diffuse, nb_glossy, indirect_scaled):
-    diffuse, specular = _direct_lighting(
-        scene, static, bvh, surf, matg, frame, wo_local, key,
-        camera_level, nb_diffuse, nb_glossy,
-    )
-    if indirect_scaled:
-        # Disney applies indirect scales to its own direct light on secondary
-        # rays (rlDisney.cpp:706-709)
-        is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
-        diffuse = jnp.where(is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse)
-        specular = jnp.where(is_dsy, specular * matg.indirect_specular_scale[..., None], specular)
-    radiance = diffuse + specular + matg.emission
-    valid3 = surf.valid[..., None]
-    return ShadeOut(
-        radiance=jnp.where(valid3, radiance, 0.0),
-        aov_diffuse=jnp.where(valid3, diffuse, 0.0),
-        aov_specular=jnp.where(valid3, specular, 0.0),
-    )
-
-
-def _trace(scene, bvh, o, d, vis: int, exclude_tri=None):
-    g = scene.geometry
-    return bvhmod.intersect(
-        bvh, g.v0, g.e1, g.e2, o + d * RAY_EPS, d,
-        exclude_tri=exclude_tri,
-        vis_mask=vis, tri_visibility=g.visibility,
-    )
-
-
-def render_tile(
-    scene: Scene,
-    static: SceneStatic,
-    bvh: bvhmod.BVH,
-    rays: cameramod.CameraRays,
-    key,
-    aa_samples: int,
-):
-    """Shade one tile of camera rays; returns per-RAY rgb + aov dict."""
-    opts = scene.options
-    n0 = rays.origin.shape[0]
-    nb_d = opts.gi_diffuse_samples ** 2
-    nb_g = opts.gi_glossy_samples ** 2
-    nb_r = opts.gi_refraction_samples ** 2
-
-    hit0 = _trace(scene, bvh, rays.origin, rays.direction, VIS_CAMERA)
-    surf0 = _surface(scene, hit0, rays.origin, rays.direction)
-    miss0 = ~surf0.valid
-
-    # camera sees the skydome directly
-    rgb = jnp.where(
-        miss0[..., None],
-        scene.sky.radiance if scene.sky.exists else jnp.zeros(3),
-        0.0,
-    ) * jnp.ones((n0, 3))
-
-    matg0 = dispatch.gather(
-        scene.materials, scene.textures, surf0.mat_id, surf0.uv, surf0.entering,
-        surf0.p,
-    )
-    frame0 = build_frame_polar(surf0.nf)
-    wo0 = to_local(frame0, -rays.direction)
-
-    k0 = rng.fold(key, 0)
-    sh0 = _shade_direct(
-        scene, static, bvh, surf0, matg0, frame0, wo0, k0, True, nb_d, nb_g, False
-    )
-    rgb = rgb + jnp.where(surf0.valid[..., None], sh0.radiance, 0.0)
-    aovs = {
-        "direct_diffuse": sh0.aov_diffuse,
-        "direct_specular": sh0.aov_specular,
-    }
-
-    # ---------------- indirect generation 1 ----------------
-    def spawn_lobe(sample_fn, eval_fn, nb, lobe_key, active_mask):
-        """Spawn nb rays per camera hit for one lobe. Returns flat arrays
-        (n0*nb) of (o, d, weight, pdf, valid)."""
-        u = rng.stratified2(lobe_key, (n0,), int(np.sqrt(nb)))
-        os_, ds_, ws_, ps_ = [], [], [], []
-        for s in range(nb):
-            wi_l = sample_fn(matg0, wo0, u[:, s, 0], u[:, s, 1])
-            f, pdf = eval_fn(matg0, wo0, wi_l)
-            wi_w = to_world(frame0, wi_l)
-            ok = active_mask & surf0.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
-            w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
-            os_.append(surf0.p)
-            ds_.append(wi_w)
-            ws_.append(w)
-            ps_.append(jnp.where(ok, pdf, 0.0))
-        return (
-            jnp.concatenate(os_), jnp.concatenate(ds_),
-            jnp.concatenate(ws_), jnp.concatenate(ps_),
+    def __init__(self, scene: Scene, accel, aa_samples: int):
+        self.scene = scene
+        self.static = SceneStatic.of(scene)
+        self.accel = accel
+        self.aa = aa_samples
+        o = scene.options
+        self.nb_d = o.gi_diffuse_samples ** 2 if o.gi_diffuse_depth > 0 else 0
+        self.nb_g = o.gi_glossy_samples ** 2 if o.gi_glossy_depth > 0 else 0
+        self.nb_r = (
+            o.gi_refraction_samples ** 2
+            if (o.gi_refraction_depth > 0 and self.static.has_refract)
+            else 0
         )
 
-    total_indirect = {"indirect_diffuse": jnp.zeros((n0, 3)),
-                      "indirect_specular": jnp.zeros((n0, 3)),
-                      "refraction": jnp.zeros((n0, 3))}
+        self._j_prepare = jax.jit(self._prepare, static_argnames=("camera_level",))
+        self._j_reduce_direct = jax.jit(
+            self._reduce_direct, static_argnames=("camera_level", "indirect_scaled")
+        )
+        self._j_spawn = jax.jit(self._spawn, static_argnames=("lobe", "nb"))
+        self._j_pickup = jax.jit(self._pickup, static_argnames=("nb",))
+        self._j_refr_spawn = jax.jit(self._refr_spawn, static_argnames=("nb",))
 
-    any_diffuse = opts.gi_diffuse_depth > 0
-    any_glossy = opts.gi_glossy_depth > 0
-    has_refract_mat = static.has_refract
+    # ----- stages (pure functions of device arrays + static flags) -----
 
-    def shade_secondary(o, d, weight, lobe_pdf, nb, vis_flag, kind_key, depth,
-                        refr_left, is_refraction=False):
-        """Trace one generation of indirect rays; returns (n_rays, 3) rgb."""
-        nr = o.shape[0]
-        hit = _trace(scene, bvh, o, d, vis_flag)
-        surf = _surface(scene, hit, o + d * RAY_EPS, d)
-        active = jnp.max(jnp.abs(weight), axis=-1) > 0.0
-
-        if is_refraction:
-            # refraction rays don't see area lights (AiTrace misses them)
-            # and pick up the background at FULL weight (AiTraceBackground,
-            # rlGgx.h:238-240)
-            out = jnp.where(
-                (~surf.valid)[..., None],
-                scene.sky.radiance if scene.sky.exists else jnp.zeros(3),
-                0.0,
-            ) * jnp.ones((nr, 3))
-        else:
-            out = _light_pickup(scene, static, o, d, jnp.where(surf.valid, hit.t, 1e30),
-                                lobe_pdf, nb, True)
-            # spawn layout is sample-major: ray i came from camera hit i % n0
-            nf0 = jnp.tile(surf0.nf, (nr // n0, 1)) if nr != n0 else surf0.nf
-            out = out + _sky_pickup(scene, nf0, d, ~surf.valid, lobe_pdf, nb)
-
-        matg = dispatch.gather(scene.materials, scene.textures, surf.mat_id,
-                               surf.uv, surf.entering, surf.p)
+    def _prepare(self, t, tri, uu, vv, o, d, key, camera_level):
+        """Post-trace: surface, materials, shading frame, light-sample grid
+        and the flattened shadow rays for the occlusion kernel."""
+        surf = _surface(self.scene, t, tri, uu, vv, o, d)
+        matg = dispatch.gather(
+            self.scene.materials, self.scene.textures, surf.mat_id, surf.uv,
+            surf.entering, surf.p,
+        )
         frame = build_frame_polar(surf.nf)
         wo = to_local(frame, -d)
-        kk = rng.fold(kind_key, depth)
-        sh = _shade_direct(scene, static, bvh, surf, matg, frame, wo, kk, False, 1, 1, True)
-        out = out + jnp.where(surf.valid[..., None], sh.radiance, 0.0)
+        grid = _light_grid(self.scene, self.static, surf, key, camera_level)
+        n, k = grid.pdf.shape
+        sh_o = jnp.broadcast_to(surf.p[:, None, :], (n, k, 3)).reshape(-1, 3)
+        sh_d = grid.wi.reshape(-1, 3)
+        sh_t = grid.dist.reshape(-1)
+        sh_ex = jnp.broadcast_to(surf.tri[:, None], (n, k)).reshape(-1)
+        return surf, matg, frame, wo, grid, (sh_o + sh_d * RAY_EPS, sh_d,
+                                             sh_t - 2 * RAY_EPS, sh_ex)
 
-        # refraction continues through glass at secondary hits (1 sample)
-        if refr_left > 0 and has_refract_mat:
-            u = rng.uniform2(rng.fold(kind_key, 900 + depth), (nr, 1))[:, 0]
-            wi_l, wgt = dispatch.sample_refract(matg, wo, u[..., 0], u[..., 1])
-            ok = surf.valid & matg.has_refract & (jnp.max(jnp.abs(wgt), -1) > 0)
-            wi_w = to_world(frame, wi_l)
-            sub = shade_secondary(
-                surf.p, wi_w, jnp.where(ok[..., None], wgt, 0.0),
-                jnp.zeros(nr), 1, VIS_REFRACTED, rng.fold(kind_key, 33), depth + 1,
-                refr_left - 1, is_refraction=True,
-            )
-            out = out + jnp.where(ok[..., None], wgt * sub, 0.0)
-        return jnp.where(active[..., None], out, 0.0)
-
-    if any_diffuse:
-        o1, d1, w1, p1 = spawn_lobe(
-            dispatch.sample_diffuse, dispatch.eval_diffuse, nb_d,
-            rng.fold(key, 1), matg0.has_diffuse,
+    def _reduce_direct(self, surf, matg, frame, wo, grid, shadowed,
+                       camera_level, indirect_scaled):
+        # BSDF-strategy counts only exist at the camera level (indirect rays
+        # are spawned there); secondary hits use pure light sampling.
+        nb_d = self.nb_d if camera_level else 0
+        nb_g = self.nb_g if camera_level else 0
+        n = surf.p.shape[0]
+        shadowed = shadowed.reshape(n, -1)
+        diffuse, specular = _direct_reduce(
+            matg, frame, wo, grid, shadowed, nb_d, nb_g
         )
-        sub = shade_secondary(o1, d1, w1, p1, nb_d, VIS_DIFFUSE, rng.fold(key, 11), 1,
-                              opts.gi_refraction_depth - 1)
-        contrib = (w1 * sub).reshape(nb_d, n0, 3).sum(0) / nb_d
-        scale = jnp.where((matg0.mtype == MAT_DISNEY), matg0.indirect_diffuse_scale, 1.0)
-        contrib = contrib * scale[..., None]
-        total_indirect["indirect_diffuse"] = contrib
-        rgb = rgb + contrib
+        if camera_level and self.static.has_skin:
+            # skin diffuse at camera level is replaced by the SSS probe stage
+            from ..scene.build import MAT_SKIN as _SKIN
 
-    if any_glossy:
-        o1, d1, w1, p1 = spawn_lobe(
-            dispatch.sample_specular, dispatch.eval_specular, nb_g,
-            rng.fold(key, 2), matg0.has_spec,
-        )
-        sub = shade_secondary(o1, d1, w1, p1, nb_g, VIS_GLOSSY, rng.fold(key, 12), 1,
-                              opts.gi_refraction_depth - 1)
-        contrib = (w1 * sub).reshape(nb_g, n0, 3).sum(0) / nb_g
-        scale = jnp.where((matg0.mtype == MAT_DISNEY), matg0.indirect_specular_scale, 1.0)
-        contrib = contrib * scale[..., None]
-        total_indirect["indirect_specular"] = contrib
-        rgb = rgb + contrib
-
-    if has_refract_mat and opts.gi_refraction_depth > 0:
-        u = rng.stratified2(rng.fold(key, 3), (n0,), opts.gi_refraction_samples)
-        acc = jnp.zeros((n0, 3))
-        for s in range(nb_r):
-            wi_l, wgt = dispatch.sample_refract(matg0, wo0, u[:, s, 0], u[:, s, 1])
-            ok = surf0.valid & matg0.has_refract
-            wi_w = to_world(frame0, wi_l)
-            sub = shade_secondary(
-                surf0.p, wi_w, jnp.where(ok[..., None], wgt, 0.0),
-                jnp.zeros(n0), 1, VIS_REFRACTED, rng.fold(key, 13 + s), 1,
-                opts.gi_refraction_depth - 1, is_refraction=True,
+            diffuse = jnp.where((matg.mtype == _SKIN)[..., None], 0.0, diffuse)
+        if indirect_scaled:
+            is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
+            diffuse = jnp.where(
+                is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
             )
-            acc = acc + jnp.where(ok[..., None], wgt * sub, 0.0)
-        contrib = acc / nb_r
-        total_indirect["refraction"] = contrib
-        rgb = rgb + contrib
+            specular = jnp.where(
+                is_dsy, specular * matg.indirect_specular_scale[..., None], specular
+            )
+        radiance = diffuse + specular + matg.emission
+        valid3 = surf.valid[..., None]
+        return (
+            jnp.where(valid3, radiance, 0.0),
+            jnp.where(valid3, diffuse, 0.0),
+            jnp.where(valid3, specular, 0.0),
+        )
 
-    aovs.update(total_indirect)
-    return rgb, aovs
+    def _spawn(self, surf, matg, frame, wo, key, lobe, nb):
+        """BSDF-sample nb rays per hit for one lobe; returns flat rays +
+        per-sample weights/pdfs (ray-major layout)."""
+        n = surf.p.shape[0]
+        u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
+        matg_b = _expand(matg)
+        wo_b = wo[:, None, :]
+        if lobe == "diffuse":
+            wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0], u[..., 1])
+            f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
+            active = matg.has_diffuse
+            if self.static.has_skin:
+                from ..scene.build import MAT_SKIN as _SKIN
+
+                active = active & (matg.mtype != _SKIN)
+        else:
+            wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0], u[..., 1])
+            f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
+            active = matg.has_spec
+        frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+        wi_w = to_world(frame_b, wi_l)
+        ok = (
+            active[:, None] & surf.valid[:, None]
+            & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+        )
+        w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
+        o_flat = jnp.repeat(surf.p, nb, axis=0)
+        d_flat = wi_w.reshape(-1, 3)
+        return o_flat + d_flat * RAY_EPS, d_flat, w, jnp.where(ok, pdf, 0.0), ok
+
+    def _refr_spawn(self, surf, matg, frame, wo, key, nb):
+        n = surf.p.shape[0]
+        u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
+        matg_b = _expand(matg)
+        wo_b = wo[:, None, :]
+        wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
+        ok = surf.valid[:, None] & matg.has_refract[:, None]
+        ok = jnp.broadcast_to(ok, wi_l.shape[:2])
+        frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+        wi_w = to_world(frame_b, wi_l)
+        o_flat = jnp.repeat(surf.p, nb, axis=0)
+        d_flat = wi_w.reshape(-1, 3)
+        return (
+            o_flat + d_flat * RAY_EPS, d_flat,
+            jnp.where(ok[..., None], wgt, 0.0), ok,
+        )
+
+    def _pickup(self, o, d, t, tri, lobe_pdf, nf0_rep, nb):
+        """Area-light + skydome pickup for BSDF-sampled rays."""
+        scene_t = jnp.where(tri >= 0, t, 1e30)
+        out = _light_pickup(self.scene, self.static, o, d, scene_t, lobe_pdf,
+                            nb, True)
+        out = out + _sky_pickup(self.scene, nf0_rep, d, tri < 0, lobe_pdf, nb)
+        return out
+
+    # ----- host orchestration -----
+
+    def _trace(self, o, d, vis, exclude=None):
+        hit = tracemod.nearest(self.accel, self.scene.geometry, o, d,
+                               vis_mask=vis, exclude_tri=exclude)
+        return hit.t, hit.tri, hit.u, hit.v
+
+    def _shadow(self, sh):
+        o, d, tmax, ex = sh
+        return tracemod.occluded(self.accel, self.scene.geometry, o, d, tmax,
+                                 vis_mask=VIS_SHADOW, exclude_tri=ex)
+
+    def shade_generation(self, o, d, key, vis, camera_level, indirect_scaled,
+                         refr_left, is_refraction):
+        """Trace + fully shade one ray generation; returns (surf pack, rgb,
+        aov_d, aov_s). Recurses host-side for the refraction chain."""
+        t, tri, uu, vv = self._trace(o, d, vis)
+        surf, matg, frame, wo, grid, sh = self._j_prepare(
+            t, tri, uu, vv, o, d, key, camera_level=camera_level
+        )
+        shadowed = self._shadow(sh)
+        rgb, aov_d, aov_s = self._j_reduce_direct(
+            surf, matg, frame, wo, grid, shadowed,
+            camera_level=camera_level, indirect_scaled=indirect_scaled,
+        )
+        if is_refraction:
+            miss_rgb = jnp.where(
+                (tri < 0)[..., None],
+                self.scene.sky.radiance if self.scene.sky.exists else jnp.zeros(3),
+                0.0,
+            )
+            rgb = rgb + miss_rgb
+
+        if refr_left > 0 and self.static.has_refract:
+            o2, d2, wgt, ok = self._j_refr_spawn(
+                surf, matg, frame, wo, rng.fold(key, 900), 1
+            )
+            sub_pack = self.shade_generation(
+                o2, d2, rng.fold(key, 33), VIS_REFRACTED,
+                camera_level=False, indirect_scaled=indirect_scaled,
+                refr_left=refr_left - 1, is_refraction=True,
+            )
+            sub_rgb = sub_pack[1]
+            n = surf.p.shape[0]
+            add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
+            rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
+        return (surf, matg, frame, wo), rgb, aov_d, aov_s
+
+    def render_tile(self, rays: cameramod.CameraRays, key):
+        scene = self.scene
+        opts = scene.options
+        n0 = rays.origin.shape[0]
+
+        (surf0, matg0, frame0, wo0), rgb, aov_dd, aov_ds = self.shade_generation(
+            rays.origin, rays.direction, rng.fold(key, 0), VIS_CAMERA,
+            camera_level=True, indirect_scaled=False,
+            refr_left=0, is_refraction=False,
+        )
+        # camera sees the skydome directly
+        if scene.sky.exists:
+            rgb = rgb + jnp.where(
+                (~surf0.valid)[..., None], scene.sky.radiance, 0.0
+            )
+        aovs = {"direct_diffuse": aov_dd, "direct_specular": aov_ds}
+
+        def indirect_family(lobe, nb, vis, lkey, scale):
+            o1, d1, w1, pdf1, ok1 = self._j_spawn(
+                surf0, matg0, frame0, wo0, lkey, lobe=lobe, nb=nb
+            )
+            t1, tri1, u1, v1 = self._trace(o1, d1, vis)
+            nf0_rep = jnp.repeat(surf0.nf, nb, axis=0)
+            pick = self._j_pickup(
+                o1, d1, t1, tri1, pdf1.reshape(-1), nf0_rep, nb=nb
+            )
+            _, sub_rgb, _, _ = self.shade_generation_from_trace(
+                t1, tri1, u1, v1, o1, d1, rng.fold(lkey, 7),
+                indirect_scaled=True,
+                refr_left=opts.gi_refraction_depth - 1,
+            )
+            sub = pick + sub_rgb
+            return (w1 * sub.reshape(n0, nb, 3)).mean(axis=1) * scale[..., None]
+
+        if self.nb_d:
+            scale = jnp.where(
+                matg0.mtype == MAT_DISNEY, matg0.indirect_diffuse_scale, 1.0
+            )
+            c = indirect_family("diffuse", self.nb_d, VIS_DIFFUSE,
+                                rng.fold(key, 1), scale)
+            aovs["indirect_diffuse"] = c
+            rgb = rgb + c
+        else:
+            aovs["indirect_diffuse"] = jnp.zeros((n0, 3))
+
+        if self.nb_g:
+            scale = jnp.where(
+                matg0.mtype == MAT_DISNEY, matg0.indirect_specular_scale, 1.0
+            )
+            c = indirect_family("specular", self.nb_g, VIS_GLOSSY,
+                                rng.fold(key, 2), scale)
+            aovs["indirect_specular"] = c
+            rgb = rgb + c
+        else:
+            aovs["indirect_specular"] = jnp.zeros((n0, 3))
+
+        if self.nb_r:
+            o1, d1, wgt, ok = self._j_refr_spawn(
+                surf0, matg0, frame0, wo0, rng.fold(key, 3), self.nb_r
+            )
+            _, sub_rgb, _, _ = self.shade_generation(
+                o1, d1, rng.fold(key, 13), VIS_REFRACTED,
+                camera_level=False, indirect_scaled=False,
+                refr_left=opts.gi_refraction_depth - 1, is_refraction=True,
+            )
+            c = (
+                jnp.where(ok[..., None], wgt, 0.0)
+                * sub_rgb.reshape(n0, self.nb_r, 3)
+            ).mean(1)
+            aovs["refraction"] = c
+            rgb = rgb + c
+        else:
+            aovs["refraction"] = jnp.zeros((n0, 3))
+
+        if self.static.has_skin and opts.gi_sss_samples > 0:
+            from . import sss as sssmod
+
+            c = sssmod.sss_stage(self, surf0, matg0, rng.fold(key, 4))
+            aovs["sss"] = c
+            rgb = rgb + c
+        else:
+            aovs["sss"] = jnp.zeros((n0, 3))
+
+        return rgb, aovs
+
+    def shade_generation_from_trace(self, t, tri, uu, vv, o, d, key,
+                                    indirect_scaled, refr_left):
+        """Like shade_generation but reuses an existing trace result."""
+        surf, matg, frame, wo, grid, sh = self._j_prepare(
+            t, tri, uu, vv, o, d, key, camera_level=False
+        )
+        shadowed = self._shadow(sh)
+        rgb, aov_d, aov_s = self._j_reduce_direct(
+            surf, matg, frame, wo, grid, shadowed,
+            camera_level=False, indirect_scaled=indirect_scaled,
+        )
+        if refr_left > 0 and self.static.has_refract:
+            o2, d2, wgt, ok = self._j_refr_spawn(
+                surf, matg, frame, wo, rng.fold(key, 900), 1
+            )
+            _, sub_rgb, _, _ = self.shade_generation(
+                o2, d2, rng.fold(key, 33), VIS_REFRACTED,
+                camera_level=False, indirect_scaled=indirect_scaled,
+                refr_left=refr_left - 1, is_refraction=True,
+            )
+            n = surf.p.shape[0]
+            add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
+            rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
+        return (surf, matg, frame, wo), rgb, aov_d, aov_s
 
 
 def render(
-    scene: Scene,
-    bvh: bvhmod.BVH,
-    seed: int = 0,
-    tile_pixels: int = 16384,
-    aa_samples: int | None = None,
-    xres: int | None = None,
-    yres: int | None = None,
-) -> dict[str, np.ndarray]:
+    scene,
+    accel,
+    seed=0,
+    tile_pixels=16384,
+    aa_samples=None,
+    xres=None,
+    yres=None,
+):
     """Render the frame; returns {"RGBA": (H,W,3), aov_name: (H,W,3), ...}."""
     opts = scene.options
     aa = aa_samples or opts.aa_samples
@@ -498,11 +596,10 @@ def render(
         scene.camera, rng.fold(key, 77), aa, opts.filter_width, xres, yres
     )
 
-    static = SceneStatic.of(scene)
-    tile_fn = jax.jit(partial(render_tile, scene, static, bvh, aa_samples=aa))
+    tr = TileRenderer(scene, accel, aa)
 
     image = np.zeros((n_pix, 3), np.float32)
-    aov_images: dict[str, np.ndarray] = {}
+    aov_images = {}
     tile_rays = tile_pixels * n_sub
     n_rays = n_pix * n_sub
     for start in range(0, n_rays, tile_rays):
@@ -514,7 +611,7 @@ def render(
             pixel=cam_rays.pixel[sl],
             weight=cam_rays.weight[sl],
         )
-        if end - start < tile_rays:  # pad to static shape
+        if end - start < tile_rays:
             pad = tile_rays - (end - start)
             sub_rays = cameramod.CameraRays(
                 origin=jnp.pad(sub_rays.origin, ((0, pad), (0, 0))),
@@ -524,7 +621,7 @@ def render(
                 pixel=jnp.pad(sub_rays.pixel, (0, pad), constant_values=-1),
                 weight=jnp.pad(sub_rays.weight, (0, pad)),
             )
-        rgb, aovs = tile_fn(sub_rays, rng.fold(key, 1000 + start))
+        rgb, aovs = tr.render_tile(sub_rays, rng.fold(key, 1000 + start))
         rgb = np.asarray(rgb)[: end - start]
         w = np.asarray(sub_rays.weight)[: end - start, None]
         pix = np.asarray(sub_rays.pixel)[: end - start]

@@ -162,12 +162,20 @@ def read(path: str):
 
 
 def read_rgb(path: str) -> np.ndarray:
-    """Read R,G,B channels as an (H, W, 3) float32 array."""
-    ch, _ = read(path)
-    for want in (("R", "G", "B"),):
-        if all(k in ch for k in want):
-            return np.stack([ch[k] for k in want], axis=-1)
-    raise KeyError(f"{path}: no RGB channels, found {list(ch)}")
+    """Read R,G,B channels as an (H, W, 3) float32 array sized to the
+    DISPLAY window (autocropped files are zero-padded back into place, the
+    way Arnold's driver_exr `autocrop on` expects viewers to composite)."""
+    ch, hdr = read(path)
+    if not all(k in ch for k in ("R", "G", "B")):
+        raise KeyError(f"{path}: no RGB channels, found {list(ch)}")
+    img = np.stack([ch[k] for k in ("R", "G", "B")], axis=-1)
+    dxmin, dymin, dxmax, dymax = hdr.get("displayWindow", hdr["dataWindow"])
+    xmin, ymin, xmax, ymax = hdr["dataWindow"]
+    if (xmin, ymin, xmax, ymax) == (dxmin, dymin, dxmax, dymax):
+        return img
+    full = np.zeros((dymax - dymin + 1, dxmax - dxmin + 1, 3), np.float32)
+    full[ymin - dymin : ymax - dymin + 1, xmin - dxmin : xmax - dxmin + 1] = img
+    return full
 
 
 def _attr(name: str, atype: str, data: bytes) -> bytes:

@@ -94,6 +94,9 @@ def gather(
     tex_color = tex_color * g.kd_tex_gain + g.kd_tex_offset
     tex_color = jnp.where(in_coverage[..., None], tex_color, g.kd_proj_default)
     tex_color = jnp.where((g.kd_tex >= 0)[..., None], tex_color, 1.0)
+    # Arnold clamps textured diffuse color to [0,1] (the shared scene's
+    # file66 has colorOffset 1.0 and still renders a ~0.7-gray disc)
+    tex_color = jnp.clip(tex_color, 0.0, 1.0)
     base_color = g.kd_color * tex_color
 
     is_disney = mtype == MAT_DISNEY
