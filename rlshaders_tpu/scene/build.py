@@ -367,10 +367,9 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
 
     def scalar_or_link(v, default=0.0):
         """Scalar param possibly linked to a texture alpha ('node.a').
-        Projected-alpha links (Ks projection3.a in the shared scene) resolve
-        to 0 outside the projection coverage, which dominates the surface;
-        approximating the link as 0 matches the golden renders far better
-        than 1 (no visible specular on the logo sphere)."""
+        Empirically the goldens show no strong specular on the logo disc,
+        so projected-alpha Ks links resolve to 0 (matches the golden far
+        better than 1; revisit with real projected-alpha sampling)."""
         if isinstance(v, str):
             return 0.0
         return float(v) if isinstance(v, (int, float)) else default
