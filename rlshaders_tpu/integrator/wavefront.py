@@ -306,6 +306,7 @@ class TileRenderer:
         self._j_spawn = jax.jit(self._spawn, static_argnames=("lobe", "nb"))
         self._j_pickup = jax.jit(self._pickup, static_argnames=("nb",))
         self._j_refr_spawn = jax.jit(self._refr_spawn, static_argnames=("nb",))
+        self._j_spec_bsdf = jax.jit(self._spec_bsdf_direct)
 
     # ----- stages (pure functions of device arrays + static flags) -----
 
@@ -330,10 +331,15 @@ class TileRenderer:
 
     def _reduce_direct(self, surf, matg, frame, wo, grid, shadowed,
                        camera_level, indirect_scaled):
-        # BSDF-strategy counts only exist at the camera level (indirect rays
-        # are spawned there); secondary hits use pure light sampling.
+        # At the camera level the BSDF strategies are the spawned indirect
+        # ray families. At secondary hits the diffuse lobe uses pure light
+        # sampling (bounded f), but the specular lobe MISes against the
+        # 1-sample BSDF strategy added in _spec_bsdf_direct — without it a
+        # sharp lobe crossing a big light is an unbounded-variance firefly
+        # factory (the reference's AiEvaluateLightSample always runs both
+        # strategies).
         nb_d = self.nb_d if camera_level else 0
-        nb_g = self.nb_g if camera_level else 0
+        nb_g = self.nb_g if camera_level else 1
         n = surf.p.shape[0]
         shadowed = shadowed.reshape(n, -1)
         diffuse, specular = _direct_reduce(
@@ -407,6 +413,58 @@ class TileRenderer:
             jnp.where(ok[..., None], wgt, 0.0), ok,
         )
 
+    def _spec_bsdf_direct(self, surf, matg, frame, wo, key):
+        """One specular-lobe sample per hit; returns (shadow rays, payload)
+        for the BSDF half of the secondary direct-light MIS."""
+        n = surf.p.shape[0]
+        u = rng.uniform2(key, (n, 1))[:, 0]
+        matg_b = _expand(matg)
+        wo_b = wo[:, None, :]
+        wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
+        f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
+        wi_l = wi_l[:, 0]
+        f = f[:, 0]
+        pdf = pdf[:, 0]
+        frame1 = frame
+        wi_w = to_world(frame1, wi_l)
+        ok = (
+            matg.has_spec & surf.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+        )
+        # analytic emission of the NEAREST light along the lobe sample,
+        # MIS vs the 1-sample light strategy; keep its distance so the
+        # shadow query stops at the light (side walls sit just behind the
+        # side lights in the shared scene)
+        scene = self.scene
+        static = self.static
+        emit = jnp.zeros((n, 3))
+        t_light = jnp.full((n,), 1e30)
+        ql = scene.quad_lights
+        for li in range(int(ql.verts.shape[0])):
+            if not static.quad_valid[li]:
+                continue
+            hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], surf.p, wi_w)
+            p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
+                                     surf.p, wi_w, tq)
+            w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
+            take = hq & (tq < t_light)
+            emit = jnp.where(take[..., None], ql.radiance[li] * w_b[..., None], emit)
+            t_light = jnp.where(take, tq, t_light)
+        dl = scene.disk_lights
+        for li in range(int(dl.center.shape[0])):
+            if not static.disk_valid[li]:
+                continue
+            hq, tq = lightsmod.intersect_disk(
+                dl.center[li], dl.u[li], dl.v[li], dl.normal[li], surf.p, wi_w
+            )
+            cos_l = jnp.abs(dot(-wi_w, dl.normal[li]))
+            p_l = (tq * tq) / jnp.maximum(cos_l * dl.area[li], 1e-12)
+            w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
+            take = hq & (tq < t_light)
+            emit = jnp.where(take[..., None], dl.radiance[li] * w_b[..., None], emit)
+            t_light = jnp.where(take, tq, t_light)
+        w_over_pdf = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
+        return (surf.p + wi_w * RAY_EPS, wi_w, ok, t_light), w_over_pdf, emit
+
     def _pickup(self, o, d, t, tri, lobe_pdf, nf0_rep, nb):
         """Area-light + skydome pickup for BSDF-sampled rays."""
         scene_t = jnp.where(tri >= 0, t, 1e30)
@@ -416,6 +474,22 @@ class TileRenderer:
         return out
 
     # ----- host orchestration -----
+
+    def _spec_direct_secondary(self, surf, matg, frame, wo, key):
+        """BSDF half of the secondary-hit specular direct lighting."""
+        if not (sum(self.static.quad_valid) or sum(self.static.disk_valid)):
+            return jnp.zeros_like(surf.p)
+        (o, d, ok, t_light), w_over_pdf, emit = self._j_spec_bsdf(
+            surf, matg, frame, wo, rng.fold(key, 4242)
+        )
+        any_emit = jnp.max(emit, axis=-1) > 0.0
+        blocked = tracemod.occluded(
+            self.accel, self.scene.geometry, o, d,
+            jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
+            vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
+        )
+        lit = ok & any_emit & ~blocked
+        return jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
 
     def _trace(self, o, d, vis, exclude=None):
         hit = tracemod.nearest(self.accel, self.scene.geometry, o, d,
@@ -440,6 +514,8 @@ class TileRenderer:
             surf, matg, frame, wo, grid, shadowed,
             camera_level=camera_level, indirect_scaled=indirect_scaled,
         )
+        if not camera_level:
+            rgb = rgb + self._spec_direct_secondary(surf, matg, frame, wo, key)
         if is_refraction:
             miss_rgb = jnp.where(
                 (tri < 0)[..., None],
@@ -559,6 +635,7 @@ class TileRenderer:
             surf, matg, frame, wo, grid, shadowed,
             camera_level=False, indirect_scaled=indirect_scaled,
         )
+        rgb = rgb + self._spec_direct_secondary(surf, matg, frame, wo, key)
         if refr_left > 0 and self.static.has_refract:
             o2, d2, wgt, ok = self._j_refr_spawn(
                 surf, matg, frame, wo, rng.fold(key, 900), 1
