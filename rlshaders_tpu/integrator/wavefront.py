@@ -57,6 +57,7 @@ class SceneStatic(NamedTuple):
     disk_samples: tuple
     has_refract: bool
     has_skin: bool
+    has_bump: bool
 
     @staticmethod
     def of(scene: Scene) -> "SceneStatic":
@@ -69,6 +70,7 @@ class SceneStatic(NamedTuple):
             disk_samples=tuple(int(x) for x in np.asarray(scene.disk_lights.samples)),
             has_refract=bool(np.any(np.asarray(scene.materials.kt) > 1e-5)),
             has_skin=bool(np.any(np.asarray(scene.materials.mtype) == _SKIN)),
+            has_bump=bool(np.any(np.asarray(scene.materials.bump_tex) >= 0)),
         )
 
 
@@ -314,6 +316,13 @@ class TileRenderer:
         """Post-trace: surface, materials, shading frame, light-sample grid
         and the flattened shadow rays for the occlusion kernel."""
         surf = _surface(self.scene, t, tri, uu, vv, o, d)
+        if self.static.has_bump:
+            ns_b = dispatch.apply_bump(
+                self.scene.materials, self.scene.textures, surf.mat_id,
+                surf.p, surf.ns,
+            )
+            sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
+            surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
         matg = dispatch.gather(
             self.scene.materials, self.scene.textures, surf.mat_id, surf.uv,
             surf.entering, surf.p,

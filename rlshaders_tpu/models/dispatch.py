@@ -118,10 +118,33 @@ def gather(
         ),
     )
 
+    ks = g.ks
+    if p is not None:
+        # scalar (Ks) texture input: Maya exposes LUMINANCE as the alpha of
+        # alpha-less files; outside a projection's coverage alpha is 0
+        local_k = (
+            jnp.einsum("...i,...ij->...j", p, g.ks_proj_inv[..., :3, :3])
+            + g.ks_proj_inv[..., 3, :3]
+        )
+        kuv = jnp.where(
+            (g.ks_proj == 1)[..., None], (local_k[..., :2] + 1.0) * 0.5, uv
+        )
+        k_cov = (g.ks_proj != 1) | (
+            (jnp.abs(local_k[..., 0]) <= 1.0) & (jnp.abs(local_k[..., 1]) <= 1.0)
+        )
+        k_rgb = sample_bilinear(tex, g.ks_tex, kuv)
+        k_alpha = jnp.clip(
+            0.212671 * k_rgb[..., 0] + 0.71516 * k_rgb[..., 1]
+            + 0.072169 * k_rgb[..., 2],
+            0.0, 1.0,
+        )
+        k_alpha = jnp.where(k_cov, k_alpha, 0.0)
+        ks = jnp.where(g.ks_tex >= 0, g.ks * k_alpha, g.ks)
+
     spec_weight = jnp.where(
         is_skin[..., None],
         g.skin_spec_color * g.skin_spec_weight[..., None],
-        g.ks_color * g.ks[..., None],
+        g.ks_color * ks[..., None],
     )
     spec2_weight = g.skin_sheen_color * g.skin_sheen_weight[..., None]
 
@@ -183,6 +206,45 @@ def gather(
         has_spec=has_spec,
         has_refract=has_refract,
     )
+
+
+def apply_bump(
+    mats: Materials,
+    tex: TextureStack,
+    mat_id: jnp.ndarray,
+    p: jnp.ndarray,
+    ns: jnp.ndarray,
+    eps: float = 5e-3,
+) -> jnp.ndarray:
+    """Perturb shading normals by a height map (the bump3d node): finite
+    differences of the (projected) texture's luminance along two surface
+    tangents. Returns the bumped normal; identity where no bump is bound."""
+    from ..core.frame import build_frame_polar
+
+    g = jax.tree_util.tree_map(lambda a: a[mat_id], mats)
+    has = g.bump_tex >= 0
+
+    def height(q):
+        local = (
+            jnp.einsum("...i,...ij->...j", q, g.bump_proj_inv[..., :3, :3])
+            + g.bump_proj_inv[..., 3, :3]
+        )
+        buv = (local[..., :2] + 1.0) * 0.5
+        cov = (jnp.abs(local[..., 0]) <= 1.0) & (jnp.abs(local[..., 1]) <= 1.0)
+        rgb = sample_bilinear(tex, g.bump_tex, buv)
+        lum = (
+            0.212671 * rgb[..., 0] + 0.71516 * rgb[..., 1] + 0.072169 * rgb[..., 2]
+        )
+        return jnp.where(cov, lum, 0.5)
+
+    frame = build_frame_polar(ns)
+    h0 = height(p)
+    gu = (height(p + frame.u * eps) - h0) / eps
+    gv = (height(p + frame.v * eps) - h0) / eps
+    bumped = normalize(
+        ns - g.bump_height[..., None] * (gu[..., None] * frame.u + gv[..., None] * frame.v)
+    )
+    return jnp.where(has[..., None], bumped, ns)
 
 
 # ---------------------------------------------------------------------------

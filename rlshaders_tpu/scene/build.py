@@ -76,6 +76,13 @@ class Materials(NamedTuple):
                                     # F0=ksn, 2 = none (F=1); standard shader
                                     # semantics (specular_Fresnel/Ksn)
     spec_ksn: jnp.ndarray
+    ks_tex: jnp.ndarray          # (M,) scalar (alpha=luminance) texture or -1
+    ks_proj: jnp.ndarray         # (M,) 0 = uv, 1 = planar projection
+    ks_proj_inv: jnp.ndarray     # (M, 4, 4)
+    bump_tex: jnp.ndarray        # (M,) bump height map or -1
+    bump_proj: jnp.ndarray
+    bump_proj_inv: jnp.ndarray   # (M, 4, 4)
+    bump_height: jnp.ndarray     # (M,)
     spec_roughness: jnp.ndarray
     spec_aniso: jnp.ndarray     # rlGgx anisotropic / standard specular_anisotropy
     kt_color: jnp.ndarray
@@ -318,10 +325,12 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             ).reshape(4, 4)
             out = dict(inner)
             out["proj"] = 1
+            # Maya's place3dTexture feeds its worldInverseMatrix into
+            # projection nodes: placementMatrix already maps world -> local
             full = np.eye(4, dtype=np.float32)
             full[:3, :3] = pm[:3, :3]
             full[3, :3] = pm[3, :3]
-            out["proj_inv"] = np.linalg.inv(full).astype(np.float32)
+            out["proj_inv"] = full
             out["proj_default"] = _gamma_rgb(node.get("defaultColor", 0.5), opts.texture_gamma)
             # projection-level gain/offset chain on top of the file's
             g = _gamma_rgb(node.get("colorGain", 1.0), 1.0)
@@ -344,19 +353,21 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             "proj_default": np.full(3, 0.5, np.float32),
         }
 
-    def resolve_surface(shader_name: str) -> Node | None:
-        """MayaShadingEngine/bump3d indirection -> actual surface shader."""
+    def resolve_surface(shader_name: str):
+        """MayaShadingEngine/bump3d indirection -> (surface shader, bump3d)."""
         node = by_name.get(shader_name)
+        bump = None
         for _ in range(4):
             if node is None:
-                return None
+                return None, bump
             if node.type == "MayaShadingEngine":
                 node = by_name.get(node.get("beauty", ""))
             elif node.type == "bump3d":
+                bump = node
                 node = by_name.get(node.get("shader", ""))
             else:
-                return node
-        return node
+                return node, bump
+        return node, bump
 
     def color_or_tex(v, gamma):
         """A color param may be an RGB value or a link to a texture node.
@@ -366,13 +377,15 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         return _gamma_rgb(v, gamma), dict(_no_tex)
 
     def scalar_or_link(v, default=0.0):
-        """Scalar param possibly linked to a texture alpha ('node.a').
-        Empirically the goldens show no strong specular on the logo disc,
-        so projected-alpha Ks links resolve to 0 (matches the golden far
-        better than 1; revisit with real projected-alpha sampling)."""
+        """Scalar param possibly linked to a texture alpha ('node.a'):
+        returns (value, tex_descriptor). Maya file nodes expose LUMINANCE as
+        the alpha of alpha-less images, so '.a' links sample the texture's
+        luminance; outside a projection's coverage the alpha is 0."""
         if isinstance(v, str):
-            return 0.0
-        return float(v) if isinstance(v, (int, float)) else default
+            desc = resolve_tex_input(v.split(".")[0])
+            return 1.0, desc
+        val = float(v) if isinstance(v, (int, float)) else default
+        return val, dict(_no_tex)
 
     def fnum(v, default=0.0):
         return float(v) if isinstance(v, (int, float)) else default
@@ -384,7 +397,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
     def material_id_for(shader_name: str) -> int:
         if shader_name in mat_index:
             return mat_index[shader_name]
-        node = resolve_surface(shader_name)
+        node, bump_node = resolve_surface(shader_name)
         g = opts.shader_gamma
         row: dict[str, Any] = {
             "mtype": MAT_STANDARD,
@@ -396,6 +409,10 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             "diffuse_roughness": 0.0,
             "ks_color": np.ones(3, np.float32), "ks": 0.0,
             "spec_fresnel_mode": 0, "spec_ksn": 0.04,
+            "ks_tex": -1, "ks_proj": 0,
+            "ks_proj_inv": np.eye(4, dtype=np.float32),
+            "bump_tex": -1, "bump_proj": 0,
+            "bump_proj_inv": np.eye(4, dtype=np.float32), "bump_height": 0.0,
             "spec_roughness": 0.4, "spec_aniso": 0.0,
             "kt_color": np.ones(3, np.float32), "kt": 0.0, "ior": 1.0,
             "opacity": np.ones(3, np.float32), "emission": np.zeros(3, np.float32),
@@ -472,6 +489,15 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             )
         elif node is not None and node.type == "standard":
             kd_c, kd_t = color_or_tex(node.get("Kd_color", 1.0), g)
+            # Ks '.a' links: Arnold's MayaFile exposes alpha 0 for alpha-less
+            # JPEGs on the scalar path (goldens show no specular on the logo
+            # disc), while bump3d's bump_map '.a' path falls back to
+            # luminance (the embossed glyph IS in the goldens).
+            ks_raw = node.get("Ks", 0.0)
+            if isinstance(ks_raw, str):
+                ks_val, ks_t = 0.0, dict(_no_tex)
+            else:
+                ks_val, ks_t = scalar_or_link(ks_raw)
             emis = fnum(node.get("emission", 0.0)) * _gamma_rgb(
                 node.get("emission_color", 1.0), g
             )
@@ -483,15 +509,26 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 kd=fnum(node.get("Kd", 0.7)),
                 diffuse_roughness=fnum(node.get("diffuse_roughness", 0.0)),
                 ks_color=color_or_tex(node.get("Ks_color", 1.0), g)[0],
-                ks=scalar_or_link(node.get("Ks", 0.0)),
+                ks=ks_val,
+                ks_tex=ks_t["tex_id"], ks_proj=ks_t["proj"],
+                ks_proj_inv=ks_t["proj_inv"],
                 spec_fresnel_mode=1 if bool(node.get("specular_Fresnel", False)) else 2,
-                spec_ksn=scalar_or_link(node.get("Ksn", 0.0)),
+                spec_ksn=scalar_or_link(node.get("Ksn", 0.0))[0],
                 spec_roughness=fnum(node.get("specular_roughness", 0.47)),
                 spec_aniso=0.0,
                 ior=1.0,
                 emission=emis,
                 opacity=_gamma_rgb(node.get("opacity", 1.0), 1.0),
             )
+        if bump_node is not None:
+            bmap = bump_node.get("bump_map")
+            if isinstance(bmap, str):
+                bt = resolve_tex_input(bmap.split(".")[0])
+                row.update(
+                    bump_tex=bt["tex_id"], bump_proj=bt["proj"],
+                    bump_proj_inv=bt["proj_inv"],
+                    bump_height=fnum(bump_node.get("bump_height", 0.0)),
+                )
         mat_rows.append(row)
         mat_index[shader_name] = len(mat_rows) - 1
         material_names.append(shader_name)
