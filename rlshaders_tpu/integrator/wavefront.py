@@ -58,6 +58,7 @@ class SceneStatic(NamedTuple):
     has_refract: bool
     has_skin: bool
     has_bump: bool
+    has_transparent: bool
 
     @staticmethod
     def of(scene: Scene) -> "SceneStatic":
@@ -71,6 +72,10 @@ class SceneStatic(NamedTuple):
             has_refract=bool(np.any(np.asarray(scene.materials.kt) > 1e-5)),
             has_skin=bool(np.any(np.asarray(scene.materials.mtype) == _SKIN)),
             has_bump=bool(np.any(np.asarray(scene.materials.bump_tex) >= 0)),
+            has_transparent=bool(
+                np.any(np.asarray(scene.materials.kt) > 1e-5)
+                or np.any(np.asarray(scene.materials.opacity) < 1.0 - 1e-5)
+            ),
         )
 
 
@@ -213,7 +218,7 @@ def _light_grid(scene, static, surf, key, camera_level) -> LightGrid:
     )
 
 
-def _direct_reduce(matg, frame, wo_local, grid: LightGrid, shadowed,
+def _direct_reduce(matg, frame, wo_local, grid: LightGrid, transmission,
                    nb_diffuse, nb_glossy):
     """MIS-weighted reduction of the light grid -> (diffuse, specular).
 
@@ -229,8 +234,8 @@ def _direct_reduce(matg, frame, wo_local, grid: LightGrid, shadowed,
     fd, pd = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
     fs, ps = dispatch.eval_specular(matg_b, wo_b, wi_l)
 
-    live = (grid.pdf > 0.0) & ~shadowed
-    inv_pdf = jnp.where(live, 1.0 / jnp.maximum(grid.pdf, 1e-12), 0.0)
+    live = grid.pdf > 0.0
+    inv_pdf = jnp.where(live, transmission / jnp.maximum(grid.pdf, 1e-12), 0.0)
     wl_d = (
         lightsmod.mis_weight(grid.nl * grid.pdf, nb_diffuse * pd)
         if nb_diffuse > 0 else jnp.ones_like(pd)
@@ -506,9 +511,44 @@ class TileRenderer:
         return hit.t, hit.tri, hit.u, hit.v
 
     def _shadow(self, sh):
+        """Shadow transmission along the segments: 1 = fully visible.
+
+        Scenes with transmissive/transparent materials (rlGgx Kt shadows,
+        rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
+        transparent hits multiplying each surface's shadow transmission;
+        fully-opaque scenes keep the single any-hit query."""
         o, d, tmax, ex = sh
-        return tracemod.occluded(self.accel, self.scene.geometry, o, d, tmax,
-                                 vis_mask=VIS_SHADOW, exclude_tri=ex)
+        if not self.static.has_transparent:
+            blocked = tracemod.occluded(
+                self.accel, self.scene.geometry, o, d, tmax,
+                vis_mask=VIS_SHADOW, exclude_tri=ex,
+            )
+            return (~blocked).astype(jnp.float32)
+        mats = self.scene.materials
+        atten = jnp.ones((o.shape[0],), jnp.float32)
+        origin = o
+        remaining = tmax
+        exclude = ex
+        for _ in range(4):
+            hit = tracemod.nearest(
+                self.accel, self.scene.geometry, origin, d,
+                vis_mask=VIS_SHADOW, exclude_tri=exclude,
+            )
+            ok = (hit.tri >= 0) & (hit.t < remaining)
+            tri = jnp.maximum(hit.tri, 0)
+            mid = self.scene.geometry.mat_id[tri]
+            kt = mats.kt[mid][..., None] * mats.kt_color[mid]
+            op = mats.opacity[mid]
+            # shadow transmission: Kt color for transmissive, else 1-opacity
+            trans = jnp.clip(jnp.maximum(kt, 1.0 - op), 0.0, 1.0)
+            trans_lum = jnp.mean(trans, axis=-1)
+            atten = atten * jnp.where(ok, trans_lum, 1.0)
+            step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
+            origin = origin + d * step[..., None]
+            remaining = remaining - step
+            exclude = jnp.where(ok, hit.tri, -1)
+            # early out handled by masking; atten==0 lanes waste work only
+        return atten
 
     def shade_generation(self, o, d, key, vis, camera_level, indirect_scaled,
                          refr_left, is_refraction):
