@@ -44,11 +44,14 @@ def cmd_render(args):
     )
     t_render = time.time() - t0
     img = out["RGBA"]
-    xres = img.shape[1]
+    stats = out.pop("__stats__", {})
     aa = args.aa or scene.options.aa_samples
     n_samples = img.shape[0] * img.shape[1] * aa * aa
+    total_rays = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)
     print(f"[rls] render {img.shape[1]}x{img.shape[0]} aa={aa} in {t_render:.2f}s "
-          f"({n_samples / max(t_render, 1e-9) / 1e6:.2f} Mcam-rays/s)")
+          f"| {n_samples/1e6:.2f} Mcam-samples "
+          f"| {total_rays/1e6:.1f} Mrays ({stats.get('shadow_rays',0)/1e6:.1f} shadow) "
+          f"| {total_rays / max(t_render, 1e-9) / 1e6:.2f} Mrays/s")
 
     exr.write_rgb(args.output, img)
     print(f"[rls] wrote {args.output}")
@@ -84,6 +87,7 @@ def cmd_test(args):
             t0 = time.time()
             scene, tree = _build(scene_path)
             out = wavefront.render(scene, tree, aa_samples=args.aa, tile_pixels=args.tile)
+            out.pop("__stats__", None)
             dt = time.time() - t0
             ref = exr.read_rgb(ref_path)
             test = out["RGBA"]

@@ -21,7 +21,8 @@ class CameraRays(NamedTuple):
     origin: jnp.ndarray   # (N, 3)
     direction: jnp.ndarray  # (N, 3)
     pixel: jnp.ndarray    # (N,) flat pixel index y*xres+x
-    weight: jnp.ndarray   # (N,) filter weight (normalized per pixel)
+    weight: jnp.ndarray   # (N,) legacy per-sample weight (1.0 with splatting)
+    sub_xy: jnp.ndarray   # (N, 2) subpixel position in [0,1)^2
 
 
 def generate(
@@ -50,13 +51,10 @@ def generate(
     ox = (sx[None, :] + jitter[..., 0]) / aa_samples  # in [0,1)
     oy = (sy[None, :] + jitter[..., 1]) / aa_samples
 
-    # gaussian filter weight about the pixel center (importance weighting
-    # approximation of Arnold's width-2 gaussian filter)
-    dx = ox - 0.5
-    dy = oy - 0.5
-    sigma = filter_width / 4.0
-    w = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
-    w = w / jnp.mean(w, axis=1, keepdims=True)  # unbiased per-pixel
+    # the gaussian pixel filter is applied by cross-pixel splatting in
+    # render() (Arnold filter semantics); samples carry their subpixel
+    # position instead of a weight
+    w = jnp.ones_like(ox)
 
     x = (ix[:, None] + ox) / xres * 2.0 - 1.0
     y = 1.0 - (iy[:, None] + oy) / yres * 2.0
@@ -97,4 +95,5 @@ def generate(
         direction=d_world.reshape(n, 3),
         pixel=pixel,
         weight=w.reshape(n),
+        sub_xy=jnp.stack([ox, oy], axis=-1).reshape(n, 2),
     )

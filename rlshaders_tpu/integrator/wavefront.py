@@ -306,6 +306,7 @@ class TileRenderer:
             else 0
         )
 
+        self.stats = {"nearest_rays": 0, "shadow_rays": 0, "traces": 0}
         self._j_prepare = jax.jit(self._prepare, static_argnames=("camera_level",))
         self._j_reduce_direct = jax.jit(
             self._reduce_direct, static_argnames=("camera_level", "indirect_scaled")
@@ -506,6 +507,8 @@ class TileRenderer:
         return jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
 
     def _trace(self, o, d, vis, exclude=None):
+        self.stats["nearest_rays"] += int(o.shape[0])
+        self.stats["traces"] += 1
         hit = tracemod.nearest(self.accel, self.scene.geometry, o, d,
                                vis_mask=vis, exclude_tri=exclude)
         return hit.t, hit.tri, hit.u, hit.v
@@ -518,6 +521,7 @@ class TileRenderer:
         transparent hits multiplying each surface's shadow transmission;
         fully-opaque scenes keep the single any-hit query."""
         o, d, tmax, ex = sh
+        self.stats["shadow_rays"] += int(o.shape[0])
         if not self.static.has_transparent:
             blocked = tracemod.occluded(
                 self.accel, self.scene.geometry, o, d, tmax,
@@ -724,10 +728,17 @@ def render(
 
     tr = TileRenderer(scene, accel, aa)
 
-    image = np.zeros((n_pix, 3), np.float32)
+    image = np.zeros((n_pix, 3), np.float64)
+    filt_wsum = np.zeros(n_pix, np.float64)
     aov_images = {}
     tile_rays = tile_pixels * n_sub
     n_rays = n_pix * n_sub
+    # gaussian pixel filter (Arnold gaussian_filter, width = filter_width):
+    # splat each sample into the 3x3 pixel neighborhood
+    radius = opts.filter_width * 0.5
+    alpha = 2.0
+    gauss_floor = np.exp(-alpha * radius * radius)
+
     for start in range(0, n_rays, tile_rays):
         end = min(start + tile_rays, n_rays)
         sl = slice(start, end)
@@ -736,6 +747,7 @@ def render(
             direction=cam_rays.direction[sl],
             pixel=cam_rays.pixel[sl],
             weight=cam_rays.weight[sl],
+            sub_xy=cam_rays.sub_xy[sl],
         )
         if end - start < tile_rays:
             pad = tile_rays - (end - start)
@@ -746,18 +758,42 @@ def render(
                 ),
                 pixel=jnp.pad(sub_rays.pixel, (0, pad), constant_values=-1),
                 weight=jnp.pad(sub_rays.weight, (0, pad)),
+                sub_xy=jnp.pad(sub_rays.sub_xy, ((0, pad), (0, 0))),
             )
         rgb, aovs = tr.render_tile(sub_rays, rng.fold(key, 1000 + start))
-        rgb = np.asarray(rgb)[: end - start]
-        w = np.asarray(sub_rays.weight)[: end - start, None]
+        rgb = np.asarray(rgb)[: end - start].astype(np.float64)
         pix = np.asarray(sub_rays.pixel)[: end - start]
-        np.add.at(image, pix, rgb * w)
-        for name, a in aovs.items():
-            img = aov_images.setdefault(name, np.zeros((n_pix, 3), np.float32))
-            np.add.at(img, pix, np.asarray(a)[: end - start] * w)
+        sub = np.asarray(sub_rays.sub_xy)[: end - start]
+        pxx = pix % xres
+        pyy = pix // xres
+        sx = pxx + sub[:, 0]  # absolute sample position in pixel units
+        sy = pyy + sub[:, 1]
+        aov_np = {
+            name: np.asarray(a)[: end - start].astype(np.float64)
+            for name, a in aovs.items()
+        }
+        for oy_n in (-1, 0, 1):
+            for ox_n in (-1, 0, 1):
+                nx = pxx + ox_n
+                ny = pyy + oy_n
+                valid = (nx >= 0) & (nx < xres) & (ny >= 0) & (ny < yres)
+                dx = sx - (nx + 0.5)
+                dy = sy - (ny + 0.5)
+                d2 = dx * dx + dy * dy
+                w = np.exp(-alpha * d2) - gauss_floor
+                w = np.where((d2 <= radius * radius) & valid, w, 0.0)
+                tgt = np.where(valid, ny * xres + nx, 0)
+                np.add.at(image, tgt, rgb * w[:, None])
+                np.add.at(filt_wsum, tgt, w)
+                for name, a in aov_np.items():
+                    img = aov_images.setdefault(
+                        name, np.zeros((n_pix, 3), np.float64)
+                    )
+                    np.add.at(img, tgt, a * w[:, None])
 
-    image /= n_sub
-    out = {"RGBA": image.reshape(yres, xres, 3)}
+    norm = np.maximum(filt_wsum, 1e-12)[:, None]
+    out = {"RGBA": (image / norm).astype(np.float32).reshape(yres, xres, 3)}
     for name, img in aov_images.items():
-        out[name] = (img / n_sub).reshape(yres, xres, 3)
+        out[name] = (img / norm).astype(np.float32).reshape(yres, xres, 3)
+    out["__stats__"] = dict(tr.stats)
     return out
