@@ -53,23 +53,23 @@ def make_scene_batch():
     return params, wo
 
 
-def step(params, wo, key):
+def step(params, wo, key, cc: bool = True):
     """SPP spec samples + SPP diffuse samples, full eval + pdf + MIS blend."""
     n = wo.shape[0]
     u = jax.random.uniform(key, (n, SPP, 4), dtype=jnp.float32)
     pb = disney.expand_sample_axis(params)
     wo_b = wo[:, None, :]
 
-    wi_s = disney.sample_specular(pb, wo_b, u[..., 0], u[..., 1])
-    f_s = disney.eval_specular_cos(pb, wo_b, wi_s)
-    p_s = disney.pdf_specular(pb, wo_b, wi_s)
+    wi_s = disney.sample_specular(pb, wo_b, u[..., 0], u[..., 1], cc)
+    f_s = disney.eval_specular_cos(pb, wo_b, wi_s, cc)
+    p_s = disney.pdf_specular(pb, wo_b, wi_s, cc)
     p_sd = disney.pdf_diffuse(pb, wo_b, wi_s)
     w_s = p_s / jnp.maximum(p_s + p_sd, 1e-9)
 
     wi_d = disney.sample_diffuse(pb, wo_b, u[..., 2], u[..., 3])
     f_d = disney.eval_diffuse_cos(pb, wo_b, wi_d)
     p_d = disney.pdf_diffuse(pb, wo_b, wi_d)
-    p_ds = disney.pdf_specular(pb, wo_b, wi_d)
+    p_ds = disney.pdf_specular(pb, wo_b, wi_d, cc)
     w_d = p_d / jnp.maximum(p_d + p_ds, 1e-9)
 
     est = (
@@ -81,7 +81,8 @@ def step(params, wo, key):
 
 def main():
     params, wo = make_scene_batch()
-    fn = jax.jit(step)
+    cc = disney.has_clearcoat(params)
+    fn = jax.jit(lambda p, w, k: step(p, w, k, cc))
     key = rng.stream(0)
 
     out = fn(params, wo, key)

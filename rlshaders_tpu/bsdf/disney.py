@@ -172,9 +172,11 @@ def eval_diffuse(params: DisneyParams, wo, wi) -> jnp.ndarray:
     return jnp.where(valid[..., None], f, 0.0)
 
 
-def eval_specular(params: DisneyParams, wo, wi) -> jnp.ndarray:
+def eval_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
     """Combined GTR2-aniso + clearcoat + sheen, WITHOUT cos
-    (rlDisney.cpp:318-356). Returns (..., 3)."""
+    (rlDisney.cpp:318-356). Returns (..., 3). `with_clearcoat=False` is a
+    static specialization that skips the GTR1 terms (valid when every
+    shading point has clearcoat == 0)."""
     ldotn = wi[..., 2]
     vdotn = wo[..., 2]
     m = normalize(wi + wo)
@@ -191,17 +193,18 @@ def eval_specular(params: DisneyParams, wo, wi) -> jnp.ndarray:
         vdotn, params.spec_roughness
     )
 
-    clearcoat_f0 = 0.04
-    clearcoat_rough = 0.25
-    dr = d_gtr1(params, ndotm2)
-    fr = lerp(fh, clearcoat_f0, 1.0)
-    gr = smith_g_over_2ndotv(ldotn, clearcoat_rough) * smith_g_over_2ndotv(
-        vdotn, clearcoat_rough
-    )
-
     fsheen = fh[..., None] * params.sheen_color * (1.0 - params.metallic)[..., None]
 
-    f = (ds * gs)[..., None] * fs + (params.clearcoat * dr * fr * gr)[..., None] + fsheen
+    f = (ds * gs)[..., None] * fs + fsheen
+    if with_clearcoat:
+        clearcoat_f0 = 0.04
+        clearcoat_rough = 0.25
+        dr = d_gtr1(params, ndotm2)
+        fr = lerp(fh, clearcoat_f0, 1.0)
+        gr = smith_g_over_2ndotv(ldotn, clearcoat_rough) * smith_g_over_2ndotv(
+            vdotn, clearcoat_rough
+        )
+        f = f + (params.clearcoat * dr * fr * gr)[..., None]
     return jnp.where(valid[..., None], f, 0.0)
 
 
@@ -247,11 +250,17 @@ def _sample_gtr2_aniso_vndf(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
     return sample_vndf(wo, params.alpha_x, params.alpha_y, rx, ry)
 
 
-def sample_specular(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
+def sample_specular(params: DisneyParams, wo, rx, ry,
+                    with_clearcoat: bool = True) -> jnp.ndarray:
     """Lobe-mixture specular sample (rlDisney.cpp:367-390): pick GTR2-aniso
     VNDF with weight 1/(clearcoat+1) else GTR1, reflect about the sampled
     normal. Returns the zero vector for below-horizon normals, matching the
     reference's rejection."""
+    if not with_clearcoat:
+        m = _sample_gtr2_aniso_vndf(params, wo, rx, ry)
+        below = m[..., 2] < 0.0
+        wi = reflect(wo, m)
+        return jnp.where(below[..., None], 0.0, wi)
     gtr2_w = 1.0 / (params.clearcoat + 1.0)
     use_gtr2 = rx < gtr2_w
     rx2 = jnp.where(
@@ -267,7 +276,7 @@ def sample_specular(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
     return jnp.where(below[..., None], 0.0, wi)
 
 
-def pdf_specular(params: DisneyParams, wo, wi) -> jnp.ndarray:
+def pdf_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
     """Mixture PDF matching sample_specular (role of rlDisney.cpp:520-543).
 
     The GTR2 branch uses the EXACT anisotropic Smith G1 so the pdf equals the
@@ -281,16 +290,18 @@ def pdf_specular(params: DisneyParams, wo, wi) -> jnp.ndarray:
     idotm = jnp.abs(dot(wi, m))
     mdotn = m[..., 2]
     mdotn2 = mdotn * mdotn
-    cc_w = params.clearcoat / (params.clearcoat + 1.0)
-
     vdotn = jnp.maximum(1e-4, wo[..., 2])
     p_gtr2 = (
         d_gtr2_aniso(params, m, mdotn2)
         * smith_g1_aniso(wo, m, params.alpha_x, params.alpha_y)
         / vdotn
     )
-    p_gtr1 = d_gtr1(params, mdotn2) * jnp.abs(mdotn) / jnp.maximum(idotm, 1e-12)
-    d_mix = lerp(cc_w, p_gtr2, p_gtr1)
+    if with_clearcoat:
+        cc_w = params.clearcoat / (params.clearcoat + 1.0)
+        p_gtr1 = d_gtr1(params, mdotn2) * jnp.abs(mdotn) / jnp.maximum(idotm, 1e-12)
+        d_mix = lerp(cc_w, p_gtr2, p_gtr1)
+    else:
+        d_mix = p_gtr2
     return jnp.where(mdotn < 0.0, 0.0, d_mix * 0.25)
 
 
@@ -301,6 +312,16 @@ def eval_diffuse_cos(params: DisneyParams, wo, wi) -> jnp.ndarray:
     return eval_diffuse(params, wo, wi) * ndotl[..., None]
 
 
-def eval_specular_cos(params: DisneyParams, wo, wi) -> jnp.ndarray:
+def eval_specular_cos(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
     ndotl = wi[..., 2]
-    return eval_specular(params, wo, wi) * ndotl[..., None]
+    return eval_specular(params, wo, wi, with_clearcoat) * ndotl[..., None]
+
+
+def has_clearcoat(params: DisneyParams) -> bool:
+    """Host-side (concrete params only) check for the static specialization."""
+    import numpy as np
+
+    try:
+        return bool(np.any(np.asarray(params.clearcoat) > 0.0))
+    except Exception:
+        return True

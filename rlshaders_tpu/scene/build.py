@@ -205,8 +205,9 @@ def _xform_points(pts: np.ndarray, m: np.ndarray) -> np.ndarray:
 
 
 def _xform_normals(ns: np.ndarray, m: np.ndarray) -> np.ndarray:
-    inv_t = np.linalg.inv(m[:3, :3]).T
-    out = ns @ inv_t.T  # row-vector: n' = n @ inv(M)^T ... = n @ inv_t.T
+    # row-vector points transform as p' = p @ M, so normals transform as
+    # n' = n @ inv(M)^T (preserves n.t = 0 for tangents t' = t @ M)
+    out = ns @ np.linalg.inv(m[:3, :3]).T
     norm = np.linalg.norm(out, axis=-1, keepdims=True)
     return out / np.maximum(norm, 1e-20)
 
