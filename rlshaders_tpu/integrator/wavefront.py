@@ -314,7 +314,7 @@ class TileRenderer:
         self._j_spawn = jax.jit(self._spawn, static_argnames=("lobe", "nb"))
         self._j_pickup = jax.jit(self._pickup, static_argnames=("nb",))
         self._j_refr_spawn = jax.jit(self._refr_spawn, static_argnames=("nb",))
-        self._j_spec_bsdf = jax.jit(self._spec_bsdf_direct)
+        self._j_spec_bsdf = jax.jit(self._spec_bsdf_direct, static_argnames=("lobe",))
 
     # ----- stages (pure functions of device arrays + static flags) -----
 
@@ -347,13 +347,14 @@ class TileRenderer:
     def _reduce_direct(self, surf, matg, frame, wo, grid, shadowed,
                        camera_level, indirect_scaled):
         # At the camera level the BSDF strategies are the spawned indirect
-        # ray families. At secondary hits the diffuse lobe uses pure light
-        # sampling (bounded f), but the specular lobe MISes against the
-        # 1-sample BSDF strategy added in _spec_bsdf_direct — without it a
-        # sharp lobe crossing a big light is an unbounded-variance firefly
-        # factory (the reference's AiEvaluateLightSample always runs both
-        # strategies).
-        nb_d = self.nb_d if camera_level else 0
+        # ray families. At secondary hits BOTH lobes MIS against the 1-sample
+        # BSDF strategy added in _lobe_bsdf_direct: without it, a sharp lobe
+        # crossing a big light (specular) or a hit point adjacent to a light
+        # (diffuse: the shared scene's walls sit ~0.3 units behind the side
+        # lights, making the area pdf explode) is an unbounded-variance
+        # firefly factory. The reference's AiEvaluateLightSample always runs
+        # both strategies.
+        nb_d = self.nb_d if camera_level else 1
         nb_g = self.nb_g if camera_level else 1
         n = surf.p.shape[0]
         shadowed = shadowed.reshape(n, -1)
@@ -405,6 +406,7 @@ class TileRenderer:
         ok = (
             active[:, None] & surf.valid[:, None]
             & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+            & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _spec_bsdf_direct)
         )
         w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
         o_flat = jnp.repeat(surf.p, nb, axis=0)
@@ -428,22 +430,32 @@ class TileRenderer:
             jnp.where(ok[..., None], wgt, 0.0), ok,
         )
 
-    def _spec_bsdf_direct(self, surf, matg, frame, wo, key):
-        """One specular-lobe sample per hit; returns (shadow rays, payload)
-        for the BSDF half of the secondary direct-light MIS."""
+    def _spec_bsdf_direct(self, surf, matg, frame, wo, key, lobe="specular"):
+        """One lobe sample per hit; returns (shadow rays, payload) for the
+        BSDF half of the secondary direct-light MIS."""
         n = surf.p.shape[0]
         u = rng.uniform2(key, (n, 1))[:, 0]
         matg_b = _expand(matg)
         wo_b = wo[:, None, :]
-        wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
-        f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
+        if lobe == "specular":
+            wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
+            f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
+            active = matg.has_spec
+        else:
+            wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
+            f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
+            active = matg.has_diffuse
         wi_l = wi_l[:, 0]
         f = f[:, 0]
         pdf = pdf[:, 0]
         frame1 = frame
         wi_w = to_world(frame1, wi_l)
+        # wo.z > 1e-4 guards silhouette-grazing configs where the Disney pdf's
+        # max(1e-4, VdotN) clamp (rlDisney.cpp:535) diverges from the eval and
+        # f/pdf explodes (observed 7e4 fireflies)
         ok = (
-            matg.has_spec & surf.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+            active & surf.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+            & (wo[..., 2] > 1e-4)
         )
         # analytic emission of the NEAREST light along the lobe sample,
         # MIS vs the 1-sample light strategy; keep its distance so the
@@ -491,20 +503,23 @@ class TileRenderer:
     # ----- host orchestration -----
 
     def _spec_direct_secondary(self, surf, matg, frame, wo, key):
-        """BSDF half of the secondary-hit specular direct lighting."""
+        """BSDF half of the secondary-hit direct lighting, both lobes."""
         if not (sum(self.static.quad_valid) or sum(self.static.disk_valid)):
             return jnp.zeros_like(surf.p)
-        (o, d, ok, t_light), w_over_pdf, emit = self._j_spec_bsdf(
-            surf, matg, frame, wo, rng.fold(key, 4242)
-        )
-        any_emit = jnp.max(emit, axis=-1) > 0.0
-        blocked = tracemod.occluded(
-            self.accel, self.scene.geometry, o, d,
-            jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
-            vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
-        )
-        lit = ok & any_emit & ~blocked
-        return jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
+        out = jnp.zeros_like(surf.p)
+        for i, lobe in enumerate(("specular", "diffuse")):
+            (o, d, ok, t_light), w_over_pdf, emit = self._j_spec_bsdf(
+                surf, matg, frame, wo, rng.fold(key, 4242 + i), lobe=lobe
+            )
+            any_emit = jnp.max(emit, axis=-1) > 0.0
+            blocked = tracemod.occluded(
+                self.accel, self.scene.geometry, o, d,
+                jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
+                vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
+            )
+            lit = ok & any_emit & ~blocked
+            out = out + jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
+        return out
 
     def _trace(self, o, d, vis, exclude=None):
         self.stats["nearest_rays"] += int(o.shape[0])

@@ -94,9 +94,14 @@ def gather(
     tex_color = tex_color * g.kd_tex_gain + g.kd_tex_offset
     tex_color = jnp.where(in_coverage[..., None], tex_color, g.kd_proj_default)
     tex_color = jnp.where((g.kd_tex >= 0)[..., None], tex_color, 1.0)
-    # Arnold clamps textured diffuse color to [0,1] (the shared scene's
-    # file66 has colorOffset 1.0 and still renders a ~0.7-gray disc)
-    tex_color = jnp.clip(tex_color, 0.0, 1.0)
+    # Maya projection nodes clamp their output color (the projected file66
+    # carries colorOffset 1.0 yet the golden's disc is ~0.7 gray); direct
+    # file-node outputs stay unclamped (the floor's line/cell contrast needs
+    # the >1 values from grey_grid + colorOffset 0.33)
+    if p is not None:
+        tex_color = jnp.where(
+            (g.kd_proj == 1)[..., None], jnp.clip(tex_color, 0.0, 1.0), tex_color
+        )
     base_color = g.kd_color * tex_color
 
     is_disney = mtype == MAT_DISNEY
