@@ -97,7 +97,9 @@ def gather(
     # Maya projection nodes clamp their output color (the projected file66
     # carries colorOffset 1.0 yet the golden's disc is ~0.7 gray); direct
     # file-node outputs stay unclamped (the floor's line/cell contrast needs
-    # the >1 values from grey_grid + colorOffset 0.33)
+    # the >1 values from grey_grid + colorOffset 0.33). The golden's glyph
+    # renders BRIGHTER than its white surround — semantics not yet
+    # reproduced (tracked in PARITY.md).
     if p is not None:
         tex_color = jnp.where(
             (g.kd_proj == 1)[..., None], jnp.clip(tex_color, 0.0, 1.0), tex_color
