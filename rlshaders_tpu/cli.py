@@ -37,11 +37,19 @@ def cmd_render(args):
           f"{len(scene.material_names)} materials, build {t_build:.2f}s")
 
     t0 = time.time()
-    out = wavefront.render(
-        scene, tree, seed=args.seed,
-        tile_pixels=args.tile,
-        aa_samples=args.aa, xres=args.res, yres=args.res,
-    )
+    if args.passes > 1:
+        out = wavefront.render_progressive(
+            scene, tree, args.passes, seed=args.seed,
+            tile_pixels=args.tile,
+            aa_samples=args.aa, xres=args.res, yres=args.res,
+            flush_path=args.output,
+        )
+    else:
+        out = wavefront.render(
+            scene, tree, seed=args.seed,
+            tile_pixels=args.tile,
+            aa_samples=args.aa, xres=args.res, yres=args.res,
+        )
     t_render = time.time() - t0
     img = out["RGBA"]
     stats = out.pop("__stats__", {})
@@ -138,6 +146,8 @@ def main(argv=None):
     r.add_argument("--res", type=int, default=None)
     r.add_argument("--aa", type=int, default=None)
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--passes", type=int, default=1,
+                   help="spp chunks; partial results flushed after each")
     r.add_argument("--tile", type=int, default=4096)
     r.add_argument("--aovs", action="store_true", help="write AOV images too")
     r.set_defaults(fn=cmd_render)

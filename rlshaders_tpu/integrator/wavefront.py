@@ -719,6 +719,44 @@ class TileRenderer:
         return (surf, matg, frame, wo), rgb, aov_d, aov_s
 
 
+def render_progressive(
+    scene,
+    accel,
+    passes: int,
+    seed=0,
+    tile_pixels=16384,
+    aa_samples=None,
+    xres=None,
+    yres=None,
+    flush_path=None,
+    verbose=True,
+):
+    """Accumulate `passes` independently-seeded renders (spp chunking, the
+    checkpoint/resume mechanism SURVEY section 5 calls for): after each pass
+    the running average is optionally flushed to `flush_path`, so long
+    renders always have a usable partial framebuffer on disk."""
+    from ..io import exr as exrmod
+
+    acc = None
+    for p in range(passes):
+        out = render(scene, accel, seed=seed + p * 7919,
+                     tile_pixels=tile_pixels, aa_samples=aa_samples,
+                     xres=xres, yres=yres)
+        stats = out.pop("__stats__", {})
+        if acc is None:
+            acc = {k: v.astype(np.float64) for k, v in out.items()}
+        else:
+            for k in acc:
+                acc[k] += out[k]
+        if flush_path is not None:
+            exrmod.write_rgb(flush_path, (acc["RGBA"] / (p + 1)).astype(np.float32))
+        if verbose:
+            print(f"[rls] pass {p + 1}/{passes} done")
+    result = {k: (v / passes).astype(np.float32) for k, v in acc.items()}
+    result["__stats__"] = stats
+    return result
+
+
 def render(
     scene,
     accel,
