@@ -148,7 +148,7 @@ def main(argv=None):
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--passes", type=int, default=1,
                    help="spp chunks; partial results flushed after each")
-    r.add_argument("--tile", type=int, default=4096)
+    r.add_argument("--tile", type=int, default=8192)
     r.add_argument("--aovs", action="store_true", help="write AOV images too")
     r.set_defaults(fn=cmd_render)
 
@@ -156,7 +156,7 @@ def main(argv=None):
     t.add_argument("--suite", default="/root/reference/testsuite")
     t.add_argument("--cases", default=None, help="comma-separated case numbers")
     t.add_argument("--aa", type=int, default=None)
-    t.add_argument("--tile", type=int, default=4096)
+    t.add_argument("--tile", type=int, default=8192)
     t.add_argument("--threshold", type=float, default=0.005)
     t.add_argument("--save", action="store_true")
     t.add_argument("--report", default=None)

@@ -33,9 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_BLOCK = 128
 TRI_BLOCK = 128
 BIG = 1e30
-# Mosaic's scoped-vmem accounting rejects very large grids; dispatch at most
-# this many rays per pallas_call and loop host-side above that.
-MAX_RAYS_PER_CALL = 262144
+# Mosaic's scoped-vmem accounting rejects very large grids when the kernel is
+# embedded in a fused jit; standalone dispatches (the staged integrator only
+# calls these between jits) handle 1M rays fine.
+MAX_RAYS_PER_CALL = 1048576
 
 
 def _interpret() -> bool:
