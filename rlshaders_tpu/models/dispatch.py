@@ -90,20 +90,22 @@ def gather(
         in_coverage = ~is_proj | (
             (jnp.abs(local[..., 0]) <= 1.0) & (jnp.abs(local[..., 1]) <= 1.0)
         )
-    tex_color = sample_bilinear(tex, g.kd_tex, uv)
-    tex_color = tex_color * g.kd_tex_gain + g.kd_tex_offset
+    tex_raw = sample_bilinear(tex, g.kd_tex, uv)
+    # Direct file nodes: Maya color balance = tex*gain + offset (validated
+    # against the golden floor's grid contrast, which needs values > 1).
+    tex_color = tex_raw * g.kd_tex_gain + g.kd_tex_offset
+    if p is not None:
+        # PROJECTED file nodes empirically resolve to gain + offset -
+        # gain*tex (for the scene's file66: 2 - tex): dividing the golden by
+        # our known-albedo illumination gives disc albedo 0.685 on the white
+        # background and 1.274 inside the dark glyph — an inverted response
+        # that matches (gain+offset-gain*tex)*Kd to within bilinear edge
+        # dilution. Direct-file semantics contradict this on the floor, so
+        # the inversion is applied to projections only.
+        proj_col = g.kd_tex_gain + g.kd_tex_offset - g.kd_tex_gain * tex_raw
+        tex_color = jnp.where((g.kd_proj == 1)[..., None], proj_col, tex_color)
     tex_color = jnp.where(in_coverage[..., None], tex_color, g.kd_proj_default)
     tex_color = jnp.where((g.kd_tex >= 0)[..., None], tex_color, 1.0)
-    # Maya projection nodes clamp their output color (the projected file66
-    # carries colorOffset 1.0 yet the golden's disc is ~0.7 gray); direct
-    # file-node outputs stay unclamped (the floor's line/cell contrast needs
-    # the >1 values from grey_grid + colorOffset 0.33). The golden's glyph
-    # renders BRIGHTER than its white surround — semantics not yet
-    # reproduced (tracked in PARITY.md).
-    if p is not None:
-        tex_color = jnp.where(
-            (g.kd_proj == 1)[..., None], jnp.clip(tex_color, 0.0, 1.0), tex_color
-        )
     base_color = g.kd_color * tex_color
 
     is_disney = mtype == MAT_DISNEY
