@@ -136,6 +136,46 @@ def cmd_test(args):
     return 0 if n_ok == len(results) else 1
 
 
+def cmd_list(args):
+    """List testsuite cases with their descriptions (runtest.py `list`)."""
+    mtoa = os.path.join(args.suite, "mtoa")
+    for case in sorted(os.listdir(mtoa)):
+        readme = os.path.join(mtoa, case, "README")
+        desc = open(readme).readline().strip() if os.path.exists(readme) else ""
+        print(f"{case}  {desc}")
+    return 0
+
+
+def cmd_patterns(args):
+    """Dump BRDF radiance + sampling-pattern images over a roughness sweep —
+    the reference's disabled node_initialize harness (rlGgx.cpp:202-224)."""
+    import jax.numpy as jnp
+
+    from .bsdf import ggx
+    from .utils import sample_writer
+
+    t = float(np.deg2rad(args.theta))
+    wo = jnp.asarray([np.sin(t), 0.0, np.cos(t)], jnp.float32)
+    os.makedirs(args.outdir, exist_ok=True)
+    for i in range(args.steps):
+        rough = (i + 0.5) / args.steps
+        p = ggx.make_params(jnp.ones(3), rough, args.ior)
+
+        def sample_fn(wos, rx, ry):
+            wi, _ = ggx.sample(p, wos, rx, ry)
+            return wi
+
+        def eval_fn(wos, wi):
+            return ggx.eval_brdf(p, wos, wi)
+
+        path = os.path.join(args.outdir, f"ggx_is.roughness.{i:04d}.exr")
+        missing = sample_writer.write_pattern(
+            path, eval_fn, sample_fn, wo, count=args.count
+        )
+        print(f"[rls] {path}  roughness={rough:.3f}  missing={missing}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="rlshaders_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -161,6 +201,18 @@ def main(argv=None):
     t.add_argument("--save", action="store_true")
     t.add_argument("--report", default=None)
     t.set_defaults(fn=cmd_test)
+
+    l = sub.add_parser("list", help="list testsuite cases")
+    l.add_argument("--suite", default="/root/reference/testsuite")
+    l.set_defaults(fn=cmd_list)
+
+    pp = sub.add_parser("patterns", help="dump sampling-pattern diagnostics")
+    pp.add_argument("--outdir", default="patterns")
+    pp.add_argument("--steps", type=int, default=9)
+    pp.add_argument("--theta", type=float, default=45.0)
+    pp.add_argument("--ior", type=float, default=1.5)
+    pp.add_argument("--count", type=int, default=2500)
+    pp.set_defaults(fn=cmd_patterns)
 
     args = ap.parse_args(argv)
     return args.fn(args) or 0
