@@ -1,0 +1,73 @@
+"""On-device gaussian pixel-filter splatting.
+
+The Arnold gaussian_filter (testsuite/data/test_geo.ass:404-419) weights each
+AA sample into its 3x3 pixel neighborhood with w = exp(-alpha*d^2) - floor,
+truncated at the filter radius. This is the framebuffer-reduction stage
+(SURVEY.md section 2.2): it runs jitted on device via scatter-adds so the
+frame never round-trips to host NumPy, and it is the per-shard accumulation
+the sharded renderer psums over the device mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+ALPHA = 2.0
+
+
+@partial(jax.jit, static_argnames=("xres", "yres", "filter_width"))
+def splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
+    """Splat per-sample values into the framebuffer.
+
+    vals: (N, C) sample payload (RGB + stacked AOV channels).
+    pixel: (N,) flat pixel index (y*xres + x); -1 marks padding samples.
+    sub_xy: (N, 2) subpixel position in [0,1)^2.
+
+    Returns (image (n_pix, C) weighted sums, wsum (n_pix,)); divide by wsum
+    to normalize. Out-of-frame neighbor taps and padding samples are dropped
+    via out-of-range scatter indices (mode="drop").
+    """
+    n_pix = xres * yres
+    radius = filter_width * 0.5
+    gauss_floor = jnp.exp(-ALPHA * radius * radius)
+
+    live = pixel >= 0
+    px = jnp.maximum(pixel, 0) % xres
+    py = jnp.maximum(pixel, 0) // xres
+    sx = px.astype(jnp.float32) + sub_xy[:, 0]
+    sy = py.astype(jnp.float32) + sub_xy[:, 1]
+
+    image = jnp.zeros((n_pix, vals.shape[1]), vals.dtype)
+    wsum = jnp.zeros((n_pix,), vals.dtype)
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            nx = px + ox
+            ny = py + oy
+            valid = live & (nx >= 0) & (nx < xres) & (ny >= 0) & (ny < yres)
+            dx = sx - (nx.astype(jnp.float32) + 0.5)
+            dy = sy - (ny.astype(jnp.float32) + 0.5)
+            d2 = dx * dx + dy * dy
+            w = jnp.exp(-ALPHA * d2) - gauss_floor
+            w = jnp.where((d2 <= radius * radius) & valid, w, 0.0)
+            tgt = jnp.where(valid, ny * xres + nx, n_pix)  # n_pix -> dropped
+            image = image.at[tgt].add(vals * w[:, None], mode="drop")
+            wsum = wsum.at[tgt].add(w, mode="drop")
+    return image, wsum
+
+
+def pack_aovs(rgb, aovs: dict):
+    """Stack RGB + AOVs (sorted by name) into one (N, C) payload; returns
+    (vals, names) where names orders the AOV slices after the leading RGB."""
+    names = sorted(aovs.keys())
+    vals = jnp.concatenate([rgb] + [aovs[k] for k in names], axis=1)
+    return vals, names
+
+
+def unpack_aovs(image, names):
+    """Split a packed (n_pix, C) framebuffer back into RGB + AOV planes."""
+    out = {"RGBA": image[:, 0:3]}
+    for i, name in enumerate(names):
+        out[name] = image[:, 3 * (i + 1) : 3 * (i + 2)]
+    return out

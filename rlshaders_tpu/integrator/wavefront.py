@@ -235,7 +235,13 @@ def _direct_reduce(matg, frame, wo_local, grid: LightGrid, transmission,
     fs, ps = dispatch.eval_specular(matg_b, wo_b, wi_l)
 
     live = grid.pdf > 0.0
-    inv_pdf = jnp.where(live, transmission / jnp.maximum(grid.pdf, 1e-12), 0.0)
+    # transmission is per-channel (N, K, 3): colored Kt shadows (reference
+    # out_opacity = 1 - Kt*KtColor, rlGgx.cpp:264-268) attenuate per RGB.
+    inv_pdf = jnp.where(
+        live[..., None],
+        transmission / jnp.maximum(grid.pdf, 1e-12)[..., None],
+        0.0,
+    )
     wl_d = (
         lightsmod.mis_weight(grid.nl * grid.pdf, nb_diffuse * pd)
         if nb_diffuse > 0 else jnp.ones_like(pd)
@@ -244,27 +250,55 @@ def _direct_reduce(matg, frame, wo_local, grid: LightGrid, transmission,
         lightsmod.mis_weight(grid.nl * grid.pdf, nb_glossy * ps)
         if nb_glossy > 0 else jnp.ones_like(ps)
     )
-    diffuse = jnp.sum(grid.rad * (inv_pdf * wl_d * grid.w_d)[..., None] * fd, axis=1)
-    specular = jnp.sum(grid.rad * (inv_pdf * wl_s * grid.w_s)[..., None] * fs, axis=1)
+    diffuse = jnp.sum(grid.rad * inv_pdf * (wl_d * grid.w_d)[..., None] * fd, axis=1)
+    specular = jnp.sum(grid.rad * inv_pdf * (wl_s * grid.w_s)[..., None] * fs, axis=1)
     return diffuse, specular
 
 
-def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level):
+def _quad_lobe_factor(ql, li, lobe):
+    """Per-light affect_{diffuse,specular} * {diffuse,specular}_weight factor
+    for BSDF-sampled pickup, matching the factors the light-sample strategy
+    applies through LightGrid.w_d/w_s (Arnold light-weight semantics)."""
+    if lobe == "diffuse":
+        return float(np.asarray(ql.affect_diffuse)[li]) * float(
+            np.asarray(ql.diffuse_weight)[li]
+        )
+    return float(np.asarray(ql.affect_specular)[li]) * float(
+        np.asarray(ql.specular_weight)[li]
+    )
+
+
+def _disk_lobe_factor(dl, li, lobe):
+    if lobe == "diffuse":
+        return float(np.asarray(dl.affect_diffuse)[li])
+    return float(np.asarray(dl.affect_specular)[li])
+
+
+def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level,
+                  lobe="specular"):
     n = o.shape[0]
     out = jnp.zeros((n, 3))
     ql = scene.quad_lights
     for li in range(int(ql.verts.shape[0])):
         if not static.quad_valid[li]:
             continue
+        fac = _quad_lobe_factor(ql, li, lobe)
+        if fac == 0.0:
+            continue
         nl = static.quad_samples[li] ** 2 if camera_level else 1
         hit, t = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], o, d)
         vis = hit & (t < scene_t)
         p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li], o, d, t)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
-        out = out + jnp.where(vis[..., None], ql.radiance[li] * w[..., None], 0.0)
+        out = out + jnp.where(
+            vis[..., None], ql.radiance[li] * (fac * w)[..., None], 0.0
+        )
     dl = scene.disk_lights
     for li in range(int(dl.center.shape[0])):
         if not static.disk_valid[li]:
+            continue
+        fac = _disk_lobe_factor(dl, li, lobe)
+        if fac == 0.0:
             continue
         nl = static.disk_samples[li] ** 2 if camera_level else 1
         hit, t = lightsmod.intersect_disk(
@@ -274,16 +308,23 @@ def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level):
         cos_l = jnp.abs(dot(-d, dl.normal[li]))
         p_l = (t * t) / jnp.maximum(cos_l * dl.area[li], 1e-12)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
-        out = out + jnp.where(vis[..., None], dl.radiance[li] * w[..., None], 0.0)
+        out = out + jnp.where(
+            vis[..., None], dl.radiance[li] * (fac * w)[..., None], 0.0
+        )
     return out
 
 
-def _sky_pickup(scene, nf_at_origin, d, miss, lobe_pdf, nb):
+def _sky_pickup(scene, nf_at_origin, d, miss, lobe_pdf, nb, lobe="specular"):
     if not scene.sky.exists:
+        return jnp.zeros(d.shape)
+    fac = float(
+        scene.sky.affect_diffuse if lobe == "diffuse" else scene.sky.affect_specular
+    )
+    if fac == 0.0:
         return jnp.zeros(d.shape)
     p_l = lightsmod.pdf_sky(nf_at_origin, d)
     w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
-    return jnp.where(miss[..., None], scene.sky.radiance * w[..., None], 0.0)
+    return jnp.where(miss[..., None], scene.sky.radiance * (fac * w)[..., None], 0.0)
 
 
 class TileRenderer:
@@ -312,7 +353,7 @@ class TileRenderer:
             self._reduce_direct, static_argnames=("camera_level", "indirect_scaled")
         )
         self._j_spawn = jax.jit(self._spawn, static_argnames=("lobe", "nb"))
-        self._j_pickup = jax.jit(self._pickup, static_argnames=("nb",))
+        self._j_pickup = jax.jit(self._pickup, static_argnames=("nb", "lobe"))
         self._j_refr_spawn = jax.jit(self._refr_spawn, static_argnames=("nb",))
         self._j_spec_bsdf = jax.jit(self._spec_bsdf_direct, static_argnames=("lobe",))
 
@@ -357,7 +398,7 @@ class TileRenderer:
         nb_d = self.nb_d if camera_level else 1
         nb_g = self.nb_g if camera_level else 1
         n = surf.p.shape[0]
-        shadowed = shadowed.reshape(n, -1)
+        shadowed = shadowed.reshape(n, -1, 3)
         diffuse, specular = _direct_reduce(
             matg, frame, wo, grid, shadowed, nb_d, nb_g
         )
@@ -469,17 +510,21 @@ class TileRenderer:
         for li in range(int(ql.verts.shape[0])):
             if not static.quad_valid[li]:
                 continue
+            fac = _quad_lobe_factor(ql, li, lobe)
             hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], surf.p, wi_w)
             p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
                                      surf.p, wi_w, tq)
             w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
             take = hq & (tq < t_light)
-            emit = jnp.where(take[..., None], ql.radiance[li] * w_b[..., None], emit)
+            emit = jnp.where(
+                take[..., None], ql.radiance[li] * (fac * w_b)[..., None], emit
+            )
             t_light = jnp.where(take, tq, t_light)
         dl = scene.disk_lights
         for li in range(int(dl.center.shape[0])):
             if not static.disk_valid[li]:
                 continue
+            fac = _disk_lobe_factor(dl, li, lobe)
             hq, tq = lightsmod.intersect_disk(
                 dl.center[li], dl.u[li], dl.v[li], dl.normal[li], surf.p, wi_w
             )
@@ -487,17 +532,20 @@ class TileRenderer:
             p_l = (tq * tq) / jnp.maximum(cos_l * dl.area[li], 1e-12)
             w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
             take = hq & (tq < t_light)
-            emit = jnp.where(take[..., None], dl.radiance[li] * w_b[..., None], emit)
+            emit = jnp.where(
+                take[..., None], dl.radiance[li] * (fac * w_b)[..., None], emit
+            )
             t_light = jnp.where(take, tq, t_light)
         w_over_pdf = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
         return (surf.p + wi_w * RAY_EPS, wi_w, ok, t_light), w_over_pdf, emit
 
-    def _pickup(self, o, d, t, tri, lobe_pdf, nf0_rep, nb):
+    def _pickup(self, o, d, t, tri, lobe_pdf, nf0_rep, nb, lobe):
         """Area-light + skydome pickup for BSDF-sampled rays."""
         scene_t = jnp.where(tri >= 0, t, 1e30)
         out = _light_pickup(self.scene, self.static, o, d, scene_t, lobe_pdf,
-                            nb, True)
-        out = out + _sky_pickup(self.scene, nf0_rep, d, tri < 0, lobe_pdf, nb)
+                            nb, True, lobe=lobe)
+        out = out + _sky_pickup(self.scene, nf0_rep, d, tri < 0, lobe_pdf, nb,
+                                lobe=lobe)
         return out
 
     # ----- host orchestration -----
@@ -529,12 +577,14 @@ class TileRenderer:
         return hit.t, hit.tri, hit.u, hit.v
 
     def _shadow(self, sh):
-        """Shadow transmission along the segments: 1 = fully visible.
+        """Per-channel shadow transmission along the segments, (N, 3);
+        1 = fully visible.
 
         Scenes with transmissive/transparent materials (rlGgx Kt shadows,
         rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
-        transparent hits multiplying each surface's shadow transmission;
-        fully-opaque scenes keep the single any-hit query."""
+        transparent hits multiplying each surface's RGB shadow transmission
+        (colored Kt shadows stay colored); fully-opaque scenes keep the
+        single any-hit query."""
         o, d, tmax, ex = sh
         self.stats["shadow_rays"] += int(o.shape[0])
         if not self.static.has_transparent:
@@ -542,9 +592,11 @@ class TileRenderer:
                 self.accel, self.scene.geometry, o, d, tmax,
                 vis_mask=VIS_SHADOW, exclude_tri=ex,
             )
-            return (~blocked).astype(jnp.float32)
+            return jnp.broadcast_to(
+                (~blocked).astype(jnp.float32)[..., None], (o.shape[0], 3)
+            )
         mats = self.scene.materials
-        atten = jnp.ones((o.shape[0],), jnp.float32)
+        atten = jnp.ones((o.shape[0], 3), jnp.float32)
         origin = o
         remaining = tmax
         exclude = ex
@@ -560,8 +612,7 @@ class TileRenderer:
             op = mats.opacity[mid]
             # shadow transmission: Kt color for transmissive, else 1-opacity
             trans = jnp.clip(jnp.maximum(kt, 1.0 - op), 0.0, 1.0)
-            trans_lum = jnp.mean(trans, axis=-1)
-            atten = atten * jnp.where(ok, trans_lum, 1.0)
+            atten = atten * jnp.where(ok[..., None], trans, 1.0)
             step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
             origin = origin + d * step[..., None]
             remaining = remaining - step
@@ -631,7 +682,7 @@ class TileRenderer:
             t1, tri1, u1, v1 = self._trace(o1, d1, vis)
             nf0_rep = jnp.repeat(surf0.nf, nb, axis=0)
             pick = self._j_pickup(
-                o1, d1, t1, tri1, pdf1.reshape(-1), nf0_rep, nb=nb
+                o1, d1, t1, tri1, pdf1.reshape(-1), nf0_rep, nb=nb, lobe=lobe
             )
             _, sub_rgb, _, _ = self.shade_generation_from_trace(
                 t1, tri1, u1, v1, o1, d1, rng.fold(lkey, 7),
@@ -766,7 +817,14 @@ def render(
     xres=None,
     yres=None,
 ):
-    """Render the frame; returns {"RGBA": (H,W,3), aov_name: (H,W,3), ...}."""
+    """Render the frame; returns {"RGBA": (H,W,3), aov_name: (H,W,3), ...}.
+
+    The gaussian pixel filter (Arnold gaussian_filter, width = filter_width)
+    is applied by on-device 3x3 splatting (integrator/splat.py); the running
+    framebuffer stays on device across tiles and transfers to host once.
+    """
+    from . import splat as splatmod
+
     opts = scene.options
     aa = aa_samples or opts.aa_samples
     xres = xres or opts.xres
@@ -781,72 +839,54 @@ def render(
 
     tr = TileRenderer(scene, accel, aa)
 
-    image = np.zeros((n_pix, 3), np.float64)
-    filt_wsum = np.zeros(n_pix, np.float64)
-    aov_images = {}
     tile_rays = tile_pixels * n_sub
     n_rays = n_pix * n_sub
-    # gaussian pixel filter (Arnold gaussian_filter, width = filter_width):
-    # splat each sample into the 3x3 pixel neighborhood
-    radius = opts.filter_width * 0.5
-    alpha = 2.0
-    gauss_floor = np.exp(-alpha * radius * radius)
+    image = None
+    wsum = None
+    names = None
 
-    for start in range(0, n_rays, tile_rays):
+    for ti, start in enumerate(range(0, n_rays, tile_rays)):
         end = min(start + tile_rays, n_rays)
-        sl = slice(start, end)
-        sub_rays = cameramod.CameraRays(
-            origin=cam_rays.origin[sl],
-            direction=cam_rays.direction[sl],
-            pixel=cam_rays.pixel[sl],
-            weight=cam_rays.weight[sl],
-            sub_xy=cam_rays.sub_xy[sl],
+        sub_rays = _slice_rays(cam_rays, start, end, tile_rays)
+        rgb, aovs = tr.render_tile(sub_rays, rng.fold(key, 1000 + ti))
+        vals, names = splatmod.pack_aovs(rgb, aovs)
+        img_t, ws_t = splatmod.splat(
+            vals, sub_rays.pixel, sub_rays.sub_xy, xres, yres,
+            float(opts.filter_width),
         )
-        if end - start < tile_rays:
-            pad = tile_rays - (end - start)
-            sub_rays = cameramod.CameraRays(
-                origin=jnp.pad(sub_rays.origin, ((0, pad), (0, 0))),
-                direction=jnp.pad(
-                    sub_rays.direction, ((0, pad), (0, 0)), constant_values=1.0
-                ),
-                pixel=jnp.pad(sub_rays.pixel, (0, pad), constant_values=-1),
-                weight=jnp.pad(sub_rays.weight, (0, pad)),
-                sub_xy=jnp.pad(sub_rays.sub_xy, ((0, pad), (0, 0))),
-            )
-        rgb, aovs = tr.render_tile(sub_rays, rng.fold(key, 1000 + start))
-        rgb = np.asarray(rgb)[: end - start].astype(np.float64)
-        pix = np.asarray(sub_rays.pixel)[: end - start]
-        sub = np.asarray(sub_rays.sub_xy)[: end - start]
-        pxx = pix % xres
-        pyy = pix // xres
-        sx = pxx + sub[:, 0]  # absolute sample position in pixel units
-        sy = pyy + sub[:, 1]
-        aov_np = {
-            name: np.asarray(a)[: end - start].astype(np.float64)
-            for name, a in aovs.items()
-        }
-        for oy_n in (-1, 0, 1):
-            for ox_n in (-1, 0, 1):
-                nx = pxx + ox_n
-                ny = pyy + oy_n
-                valid = (nx >= 0) & (nx < xres) & (ny >= 0) & (ny < yres)
-                dx = sx - (nx + 0.5)
-                dy = sy - (ny + 0.5)
-                d2 = dx * dx + dy * dy
-                w = np.exp(-alpha * d2) - gauss_floor
-                w = np.where((d2 <= radius * radius) & valid, w, 0.0)
-                tgt = np.where(valid, ny * xres + nx, 0)
-                np.add.at(image, tgt, rgb * w[:, None])
-                np.add.at(filt_wsum, tgt, w)
-                for name, a in aov_np.items():
-                    img = aov_images.setdefault(
-                        name, np.zeros((n_pix, 3), np.float64)
-                    )
-                    np.add.at(img, tgt, a * w[:, None])
+        image = img_t if image is None else image + img_t
+        wsum = ws_t if wsum is None else wsum + ws_t
 
-    norm = np.maximum(filt_wsum, 1e-12)[:, None]
-    out = {"RGBA": (image / norm).astype(np.float32).reshape(yres, xres, 3)}
-    for name, img in aov_images.items():
-        out[name] = (img / norm).astype(np.float32).reshape(yres, xres, 3)
+    norm = jnp.maximum(wsum, 1e-12)[:, None]
+    planes = splatmod.unpack_aovs(image / norm, names)
+    out = {
+        name: np.asarray(p, np.float32).reshape(yres, xres, 3)
+        for name, p in planes.items()
+    }
     out["__stats__"] = dict(tr.stats)
     return out
+
+
+def _slice_rays(cam_rays, start, end, tile_rays):
+    """Slice one tile's rays, zero-padding the final partial tile (padding
+    samples carry pixel=-1 and are dropped by the splat)."""
+    sl = slice(start, end)
+    sub_rays = cameramod.CameraRays(
+        origin=cam_rays.origin[sl],
+        direction=cam_rays.direction[sl],
+        pixel=cam_rays.pixel[sl],
+        weight=cam_rays.weight[sl],
+        sub_xy=cam_rays.sub_xy[sl],
+    )
+    if end - start < tile_rays:
+        pad = tile_rays - (end - start)
+        sub_rays = cameramod.CameraRays(
+            origin=jnp.pad(sub_rays.origin, ((0, pad), (0, 0))),
+            direction=jnp.pad(
+                sub_rays.direction, ((0, pad), (0, 0)), constant_values=1.0
+            ),
+            pixel=jnp.pad(sub_rays.pixel, (0, pad), constant_values=-1),
+            weight=jnp.pad(sub_rays.weight, (0, pad)),
+            sub_xy=jnp.pad(sub_rays.sub_xy, ((0, pad), (0, 0))),
+        )
+    return sub_rays

@@ -327,13 +327,18 @@ def eval_specular(m: MatG, wo: jnp.ndarray, wi: jnp.ndarray):
 
 
 def sample_specular(m: MatG, wo: jnp.ndarray, rx, ry) -> jnp.ndarray:
-    wi_ggx, _ = ggx.sample(m.ggx, wo, rx, ry)
     wi_dsy = disney.sample_specular(m.dsy, wo, rx, ry)
-    # skin: pick sheen or specular lobe 50/50 when sheen is present
+    # skin: pick sheen or specular lobe 50/50 when sheen is present. Both
+    # branches remap rx to [0,1) so each lobe sees the full slope CDF
+    # (mirrors disney.sample_specular's mixture remap); without sheen the
+    # raw rx feeds the specular lobe untouched.
     sheen_w = jnp.max(m.spec2_weight, axis=-1)
-    use_sheen = (rx < 0.5) & (sheen_w > 1e-5)
-    rx2 = jnp.where(use_sheen, rx * 2.0, rx)
-    wi_sheen, _ = ggx.sample(m.ggx2, wo, rx2, ry)
+    has_sheen = sheen_w > 1e-5
+    use_sheen = (rx < 0.5) & has_sheen
+    rx_spec = jnp.where(has_sheen, (rx - 0.5) * 2.0, rx)
+    wi_ggx, _ = ggx.sample(m.ggx, wo, rx_spec, ry)
+    rx_sheen = jnp.where(use_sheen, rx * 2.0, rx)
+    wi_sheen, _ = ggx.sample(m.ggx2, wo, rx_sheen, ry)
     wi_skin = jnp.where(use_sheen[..., None], wi_sheen, wi_ggx)
 
     is_disney = (m.mtype == MAT_DISNEY)[..., None]

@@ -153,7 +153,8 @@ def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
     clmin_ref,    # (C, 3) SMEM
     clmax_ref,    # (C, 3) SMEM
-    rays_ref,     # (8, RAY_BLOCK) VMEM
+    rays_ref,     # (7, RAY_BLOCK) VMEM
+    ex_ref,       # (1, RAY_BLOCK) VMEM int32
     comp_ref,     # (C*TB, 9) VMEM
     vis_ref,      # (C*TB, 1) VMEM int32
     orig_ref,     # (C*TB, 1) VMEM int32
@@ -172,7 +173,7 @@ def _nearest_kernel(
     dy = rays_ref[0, 4:5, :]
     dz = rays_ref[0, 5:6, :]
     tmax = rays_ref[0, 6:7, :]
-    exclude = rays_ref[0, 7:8, :].astype(jnp.int32)
+    exclude = ex_ref[0, 0:1, :]
     vism = vismask_ref[0, 0]
     ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
@@ -229,8 +230,8 @@ def _nearest_kernel(
 
 
 def _occluded_kernel(
-    vismask_ref, clmin_ref, clmax_ref, rays_ref, comp_ref, vis_ref, orig_ref,
-    opq_ref, blocked_out, *, n_clusters: int, t_eps: float,
+    vismask_ref, clmin_ref, clmax_ref, rays_ref, ex_ref, comp_ref, vis_ref,
+    orig_ref, opq_ref, blocked_out, *, n_clusters: int, t_eps: float,
 ):
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
@@ -239,7 +240,7 @@ def _occluded_kernel(
     dy = rays_ref[0, 4:5, :]
     dz = rays_ref[0, 5:6, :]
     tmax = rays_ref[0, 6:7, :]
-    exclude = rays_ref[0, 7:8, :].astype(jnp.int32)
+    exclude = ex_ref[0, 0:1, :]
     vism = vismask_ref[0, 0]
     ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
@@ -277,17 +278,22 @@ def _pad_rays(o, d, t_max, exclude):
     o = jnp.pad(o, ((0, pad), (0, 0)))
     d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
     t_max = jnp.pad(t_max, (0, pad))
-    exclude = jnp.pad(exclude, (0, pad), constant_values=-1)
+    # exclude ids travel as their own int32 buffer: float32 packing loses
+    # triangle indices above 2^24 (silent self-intersection failures on
+    # >16.7M-tri meshes)
+    exclude = jnp.pad(
+        jnp.asarray(exclude, jnp.int32), (0, pad), constant_values=-1
+    )
     rays = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         t_max, exclude.astype(jnp.float32)]
-    )  # (8, RP)
-    # (n_blocks, 8, RAY_BLOCK): per-grid-step blocks so only one block's rays
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2], t_max]
+    )  # (7, RP)
+    # (n_blocks, 7, RAY_BLOCK): per-grid-step blocks so only one block's rays
     # and outputs ever live in VMEM (outputs as (1, RAY_BLOCK) rows would pin
     # the whole row-0 buffer on-chip)
     nb = rp // RAY_BLOCK
-    rays = rays.reshape(8, nb, RAY_BLOCK).transpose(1, 0, 2)
-    return rays, r, rp
+    rays = rays.reshape(7, nb, RAY_BLOCK).transpose(1, 0, 2)
+    ex = exclude.reshape(nb, 1, RAY_BLOCK)
+    return rays, ex, r, rp
 
 
 def intersect(
@@ -318,7 +324,7 @@ def intersect(
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
 def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
-    rays, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
+    rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
 
@@ -330,7 +336,8 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -353,6 +360,7 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         packed.cl_min,
         packed.cl_max,
         rays,
+        ex,
         packed.comp,
         packed.vis,
         packed.orig,
@@ -387,7 +395,7 @@ def occluded(
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
 def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
-    rays, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
+    rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
 
@@ -399,7 +407,8 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -415,6 +424,7 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         packed.cl_min,
         packed.cl_max,
         rays,
+        ex,
         packed.comp,
         packed.vis,
         packed.orig,
