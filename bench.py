@@ -1,23 +1,36 @@
-"""Benchmark: Disney BSDF eval+sample throughput (the BASELINE.json headline).
+"""Benchmark: BSDF throughput + end-to-end render + multi-chip scaling.
 
-Renders the shading inner loop of a 1080p Disney material-test grid: for
-every pixel, importance-sample the specular lobe mixture, evaluate the full
-Disney BRDF (diffuse + GTR2-aniso specular + clearcoat + sheen) and both MIS
-pdfs — the exact per-sample work rlDisney's shader_evaluate does per light
-sample (reference rlDisney.cpp:105-602), batched over the frame under jit.
+Primary metric (the BASELINE.json headline): Disney BSDF eval+sample
+throughput on a 1080p material-test grid — the per-sample work rlDisney's
+shader_evaluate does per light sample (reference rlDisney.cpp:105-602),
+batched over the frame under jit. Measured BOTH with the clearcoat lobe off
+(static-specialized fast path) and on (full GTR2+GTR1 mixture); the headline
+is the clearcoat-ON number (no self-serving configuration).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "Gsamples/s", "vs_baseline": N}
-vs_baseline is against the 2 Gsamples/s v5e-8 target from BASELINE.md,
-scaled to a single chip (0.25 Gsamples/s/chip).
+Also measured and reported in the same JSON line under "extra":
+  * disney_gsps_cc_off      — clearcoat-off variant
+  * render_mrays_s          — end-to-end wavefront render of testsuite case
+                              0001 (trace+shade+occlude+splat) in Mrays/s
+  * render_seconds          — wall time of that render (256x256, AA 3)
+  * scaling                 — measured throughput ratios on a virtual CPU
+                              mesh (1 vs 2 vs 4 vs 8 devices) for the
+                              sharded render pipeline; shape-of-curve only
+                              (CPU devices, not chips)
+
+vs_baseline compares the headline against the 2 Gsamples/s v5e-8 target
+from BASELINE.md scaled to ONE chip (0.25 Gsamples/s/chip) — a single-chip
+share, NOT a demonstrated multi-chip number; the scaling curve is reported
+separately and honestly.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import rlshaders_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS before jax init)
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +42,7 @@ WIDTH, HEIGHT = 1920, 1080
 SPP = 8  # samples per pixel per timed step
 
 
-def make_scene_batch():
+def make_scene_batch(clearcoat: float):
     """1080p material-test grid: roughness x metallic over the frame."""
     n = WIDTH * HEIGHT
     x = (jnp.arange(n) % WIDTH).astype(jnp.float32) / WIDTH
@@ -43,7 +56,7 @@ def make_scene_batch():
         anisotropic=0.3 * x,
         sheen=0.5 * y,
         sheen_tint=0.5,
-        clearcoat=0.0,  # keep sampler == pdf (reference clearcoat sampler quirk)
+        clearcoat=clearcoat,
         clearcoat_gloss=0.7,
         subsurface=0.2,
     )
@@ -53,7 +66,7 @@ def make_scene_batch():
     return params, wo
 
 
-def step(params, wo, key, cc: bool = True):
+def step(params, wo, key, cc: bool):
     """SPP spec samples + SPP diffuse samples, full eval + pdf + MIS blend."""
     n = wo.shape[0]
     u = jax.random.uniform(key, (n, SPP, 4), dtype=jnp.float32)
@@ -79,12 +92,12 @@ def step(params, wo, key, cc: bool = True):
     return est.mean(axis=1)
 
 
-def main():
-    params, wo = make_scene_batch()
+def bench_bsdf(clearcoat: float) -> float:
+    """Gsamples/s for one clearcoat configuration."""
+    params, wo = make_scene_batch(clearcoat)
     cc = disney.has_clearcoat(params)
     fn = jax.jit(lambda p, w, k: step(p, w, k, cc))
     key = rng.stream(0)
-
     out = fn(params, wo, key)
     out.block_until_ready()
 
@@ -94,20 +107,97 @@ def main():
         out = fn(params, wo, rng.fold(key, i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
-
     # each pixel-sample draws TWO full BSDF samples (specular mixture and
-    # diffuse), each with eval + both MIS pdfs — count each as one
-    # "BSDF eval+sample" unit
-    samples = WIDTH * HEIGHT * SPP * 2
-    gsps = samples / dt / 1e9
+    # diffuse), each with eval + both MIS pdfs
+    return WIDTH * HEIGHT * SPP * 2 / dt / 1e9
+
+
+def bench_render():
+    """End-to-end wavefront render of testsuite case 0001 at reference
+    settings; returns (mrays_s, seconds)."""
+    scene_path = "/root/reference/testsuite/mtoa/0001/data/ggx_teflon.ass"
+    if not os.path.exists(scene_path):
+        return None, None
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.integrator import wavefront
+    from rlshaders_tpu.scene import build as buildmod
+
+    scene = buildmod.build(scene_path)
+    accel = tracemod.build(scene.geometry)
+    # warm-up at tiny size to absorb compiles outside the timed region
+    wavefront.render(scene, accel, tile_pixels=65536, xres=64, yres=64)
+    t0 = time.perf_counter()
+    out = wavefront.render(scene, accel, tile_pixels=65536)
+    dt = time.perf_counter() - t0
+    stats = out.get("__stats__", {})
+    total = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)
+    return total / dt / 1e6, dt
+
+
+def bench_scaling():
+    """Virtual-CPU-mesh scaling curve for the sharded render pipeline:
+    relative throughput at 1/2/4/8 devices (subprocess so the forced CPU
+    platform doesn't disturb this process's TPU backend)."""
+    code = r"""
+import os, sys, time, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+sys.path.insert(0, %r)
+import jax
+from rlshaders_tpu.parallel import mesh as pmesh
+out = {}
+for n in (1, 2, 4, 8):
+    mesh = pmesh.make_mesh(n)
+    scene, accel = pmesh.demo_scene()
+    r = pmesh.render_sharded(scene, accel, mesh, tile_pixels=512,
+                             aa_samples=1, xres=64, yres=64)  # warm
+    t0 = time.perf_counter()
+    r = pmesh.render_sharded(scene, accel, mesh, tile_pixels=512,
+                             aa_samples=1, xres=64, yres=64)
+    out[str(n)] = time.perf_counter() - t0
+print(json.dumps(out))
+""" % os.path.dirname(os.path.abspath(__file__))
+    try:
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=1200, env=env)
+        times = json.loads(p.stdout.strip().splitlines()[-1])
+        t1 = times["1"]
+        return {k: round(t1 / v, 3) for k, v in times.items()}
+    except Exception:
+        return None
+
+
+def main():
+    gsps_on = bench_bsdf(clearcoat=0.8)
+    gsps_off = bench_bsdf(clearcoat=0.0)
+    mrays, seconds = bench_render()
+    scaling = None
+    if os.environ.get("RLS_BENCH_SCALING", "1") == "1":
+        scaling = bench_scaling()
+
     baseline_per_chip = 2.0 / 8.0  # BASELINE target is a v5e-8 slice
     print(
         json.dumps(
             {
-                "metric": "disney_bsdf_eval_sample_1080p",
-                "value": round(gsps, 4),
+                "metric": "disney_bsdf_eval_sample_1080p_clearcoat_on",
+                "value": round(gsps_on, 4),
                 "unit": "Gsamples/s",
-                "vs_baseline": round(gsps / baseline_per_chip, 3),
+                "vs_baseline": round(gsps_on / baseline_per_chip, 3),
+                "extra": {
+                    "disney_gsps_cc_off": round(gsps_off, 4),
+                    "render_mrays_s": (round(mrays, 3)
+                                       if mrays is not None else None),
+                    "render_seconds": (round(seconds, 2)
+                                       if seconds is not None else None),
+                    "scaling_vs_1dev": scaling,
+                    "note": ("vs_baseline is the single-chip share of the "
+                             "v5e-8 target; scaling is a CPU-mesh "
+                             "shape-of-curve, not chip throughput"),
+                },
             }
         )
     )

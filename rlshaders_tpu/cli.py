@@ -27,6 +27,11 @@ def _build(scene_path: str):
 
 
 def cmd_render(args):
+    if getattr(args, "profile", False):
+        # RLS_PROFILE gates per-stage blocking wall timers in the renderer
+        # (read at TileRenderer init); the jax.profiler trace lands next to
+        # the output for xprof/tensorboard (SURVEY §5 profiling hooks).
+        os.environ["RLS_PROFILE"] = "1"
     from .integrator import wavefront
     from .io import exr
 
@@ -35,6 +40,15 @@ def cmd_render(args):
     t_build = time.time() - t0
     print(f"[rls] scene: {scene.geometry.v0.shape[0]} tris, "
           f"{len(scene.material_names)} materials, build {t_build:.2f}s")
+
+    trace_ctx = None
+    if getattr(args, "profile", False):
+        import jax
+
+        trace_dir = os.path.splitext(args.output)[0] + "_trace"
+        trace_ctx = jax.profiler.trace(trace_dir)
+        trace_ctx.__enter__()
+        print(f"[rls] profiling -> {trace_dir}")
 
     t0 = time.time()
     if args.passes > 1:
@@ -51,8 +65,16 @@ def cmd_render(args):
             aa_samples=args.aa, xres=args.res, yres=args.res,
         )
     t_render = time.time() - t0
+    if trace_ctx is not None:
+        trace_ctx.__exit__(None, None, None)
     img = out["RGBA"]
     stats = out.pop("__stats__", {})
+    timed = sorted(
+        (k[2:], v, stats.get("n_" + k[2:], 0))
+        for k, v in stats.items() if k.startswith("t_")
+    )
+    for name, tsec, cnt in timed:
+        print(f"[rls]   stage {name:12s} {tsec:8.2f}s  x{cnt}")
     aa = args.aa or scene.options.aa_samples
     n_samples = img.shape[0] * img.shape[1] * aa * aa
     total_rays = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)
@@ -82,6 +104,13 @@ def cmd_test(args):
         if args.cases
         else sorted(os.listdir(os.path.join(suite, "mtoa")))
     )
+    # Every golden carries the Arnold license watermark (skip_license_check
+    # renders watermarked; letters visible on the black backgrounds of 0003
+    # and 0009). Derive the letter mask once from the goldens and gate on
+    # watermark-masked RMSE, reporting the full-frame number alongside.
+    from .utils.watermark import watermark_mask
+
+    wm = watermark_mask(suite)
     results = []
     for case in cases:
         case_dir = os.path.join(suite, "mtoa", case)
@@ -104,30 +133,17 @@ def cmd_test(args):
                 im = Image.fromarray((np.clip(test, 0, 1) * 255).astype(np.uint8))
                 test = np.asarray(im.resize(ref.shape[1::-1]), np.float32) / 255
             err = exr.rmse(ref, test)
-            # Goldens rendered WITHOUT skip_license_check carry the Arnold
-            # "arnold" watermark text — unmatchable content. Its measured
-            # extent (luminance deviation in the background margins of all
-            # four watermarked goldens) is rows 34-103 of 256; mask that
-            # band (+margin) only, and gate every other pixel.
-            from .scene.ass_parser import parse as _parse
-            has_license = any(
-                "skip_license_check" in n.params for n in _parse(scene_path)
-                if n.type == "options"
-            )
-            if not has_license:
-                h = ref.shape[0]
-                r0, r1 = int(28 * h / 256), int(108 * h / 256)
-                mask = np.ones(ref.shape[:2], bool)
-                mask[r0:r1] = False
-                diff = (ref - test)[mask]
+            if wm is not None and ref.shape[:2] == wm.shape:
+                diff = (ref - test)[~wm]
                 err_gate = float(np.sqrt(np.mean(diff * diff)))
-                print(f"[{case}] watermarked golden: full rmse={err:.5f}, "
-                      f"masking rows {r0}:{r1} ({(~mask).mean()*100:.0f}% of frame)")
             else:
                 err_gate = err
             ok = err_gate < args.threshold
             results.append((case, desc, ok, err_gate, dt))
-            print(f"[{case}] {'OK  ' if ok else 'FAIL'} rmse={err_gate:.5f} {dt:.1f}s  {desc}")
+            print(f"[{case}] {'OK  ' if ok else 'FAIL'} "
+                  f"rmse={err_gate:.5f} (full {err:.5f}, watermark-masked "
+                  f"{(wm.mean()*100 if wm is not None else 0):.1f}%) "
+                  f"{dt:.1f}s  {desc}")
             if args.save:
                 exr.write_rgb(os.path.join(case_dir, "ref", "test_tpu.exr"), test)
         except Exception as e:  # noqa: BLE001
@@ -140,6 +156,58 @@ def cmd_test(args):
             for case, desc, ok, err, dt in results:
                 f.write(f"{case},{desc},{'OK' if ok else 'FAIL'},{err:.6f},{dt:.1f}\n")
     return 0 if n_ok == len(results) else 1
+
+
+def cmd_mkdir(args):
+    """Create a new testsuite case skeleton (runtest.py mkdir, :83-104):
+    mtoa/NNNN/{data/, ref/, README} with the next free serial number."""
+    mtoa = os.path.join(args.suite, "mtoa")
+    existing = sorted(
+        int(d) for d in os.listdir(mtoa) if d.isdigit()
+    ) if os.path.isdir(mtoa) else []
+    sn = args.sn if args.sn else (existing[-1] + 1 if existing else 1)
+    case = os.path.join(mtoa, f"{sn:04d}")
+    if os.path.exists(case):
+        print(f"[rls] case {case} already exists")
+        return 1
+    os.makedirs(os.path.join(case, "data"))
+    os.makedirs(os.path.join(case, "ref"))
+    with open(os.path.join(case, "README"), "w") as f:
+        f.write(args.desc + "\n")
+    print(f"[rls] created {case}")
+    return 0
+
+
+def cmd_display(args):
+    """Write side-by-side ref|test|5x-diff PNG sheets per case (the headless
+    stand-in for runtest.py display's `iv` viewer, runtest.py:246-254)."""
+    from .io import exr
+
+    cases = (
+        [f"{int(c):04d}" for c in args.cases.split(",")]
+        if args.cases
+        else sorted(os.listdir(os.path.join(args.suite, "mtoa")))
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    for case in cases:
+        ref_p = os.path.join(args.suite, "mtoa", case, "ref", "ref.exr")
+        test_p = os.path.join(args.suite, "mtoa", case, "ref", "test_tpu.exr")
+        if not (os.path.exists(ref_p) and os.path.exists(test_p)):
+            print(f"[{case}] missing ref/test exr, skip")
+            continue
+        ref = exr.read_rgb(ref_p)
+        test = exr.read_rgb(test_p)
+        err = np.sqrt(((ref - test) ** 2).mean(-1, keepdims=True)) * 5.0
+        sheet = np.concatenate(
+            [ref, test, np.repeat(err, 3, axis=-1)], axis=1
+        )
+        srgb = (np.clip(sheet, 0.0, 1.0) ** (1 / 2.2) * 255).astype(np.uint8)
+        from PIL import Image
+
+        out = os.path.join(args.outdir, f"{case}.png")
+        Image.fromarray(srgb).save(out)
+        print(f"[{case}] -> {out}")
+    return 0
 
 
 def cmd_list(args):
@@ -196,6 +264,8 @@ def main(argv=None):
                    help="spp chunks; partial results flushed after each")
     r.add_argument("--tile", type=int, default=8192)
     r.add_argument("--aovs", action="store_true", help="write AOV images too")
+    r.add_argument("--profile", action="store_true",
+                   help="per-stage wall timing + jax.profiler trace dump")
     r.set_defaults(fn=cmd_render)
 
     t = sub.add_parser("test", help="run the golden-image testsuite")
@@ -211,6 +281,18 @@ def main(argv=None):
     l = sub.add_parser("list", help="list testsuite cases")
     l.add_argument("--suite", default="/root/reference/testsuite")
     l.set_defaults(fn=cmd_list)
+
+    mk = sub.add_parser("mkdir", help="create a new testsuite case skeleton")
+    mk.add_argument("--suite", default="testsuite")
+    mk.add_argument("--sn", type=int, default=0, help="serial number (default: next)")
+    mk.add_argument("--desc", default="new test case")
+    mk.set_defaults(fn=cmd_mkdir)
+
+    dp = sub.add_parser("display", help="write ref|test|diff comparison sheets")
+    dp.add_argument("--suite", default="/root/reference/testsuite")
+    dp.add_argument("--cases", default=None)
+    dp.add_argument("--outdir", default="display")
+    dp.set_defaults(fn=cmd_display)
 
     pp = sub.add_parser("patterns", help="dump sampling-pattern diagnostics")
     pp.add_argument("--outdir", default="patterns")

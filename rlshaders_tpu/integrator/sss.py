@@ -3,21 +3,27 @@
 Wavefront rebuild of the reference's SssSampler (src/rlSss.h:100-554): the
 recursive message-state probe tracing becomes explicit SoA probe buffers:
 
-1. per camera hit on a skin material, spawn GI_sss_samples^2 probe rays —
-   axis chosen N/U/V with probability 0.5/0.25/0.25, entry offset on a disk
-   at a radius drawn from the normalized-diffusion inverse CDF, segment
-   length 2*sqrt(rmax^2 - r^2) (rlSss.h:487-533);
+1. per camera hit on a subsurface material, spawn GI_sss_samples^2 probe
+   rays — axis chosen N/U/V with probability 0.5/0.25/0.25, entry offset on
+   a disk at a radius drawn from the normalized-diffusion inverse CDF,
+   segment length 2*sqrt(rmax^2 - r^2) (rlSss.h:487-533);
 2. march each probe segment through up to K_PROBE nearest-hit queries
-   (replaces the AiTraceProbe chain, max depth 12 at rlSss.h:105), keeping
-   only same-mesh hits within the profile radius;
+   (replaces the AiTraceProbe chain; kMaxProbeDepth = 12 at rlSss.h:105),
+   keeping only same-mesh hits within the profile radius;
 3. shade every accepted probe hit: Lambert direct lighting x R(r) with the
    optional cavity fadeout sqrt((1+cos)/2) (rlSss.h:401-413), plus one
    cosine-sampled indirect diffuse bounce x R(r)/pi (rlSss.h:456-483);
 4. combine with the 3-axis MIS pdf — project the displacement onto the
    probe frame, pdf = sum_axis profile_pdf(r_axis) * |axis.N_hit| * w_axis
    (rlSss.h:251-263) — and average over samples.
+
+The whole stage is ONE fused jitted program (traces included) taking the
+scene as a device pytree argument, shared across tiles and same-shape
+scenes.
 """
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +34,10 @@ from ..bsdf import sss_profiles as sp
 from ..core import rng
 from ..core.frame import build_frame_polar, to_world
 from ..core.vecmath import cosine_sample_hemisphere, dot, normalize
-from ..scene.build import MAT_SKIN, VIS_SHADOW
+from ..scene.build import VIS_SHADOW
 from . import lights as lightsmod
 
-K_PROBE = 4  # probe chain length (reference caps at 12; bust scenes use ~2)
+K_PROBE = 12  # probe chain length (kMaxProbeDepth = 12, rlSss.h:105)
 RAY_EPS = 1e-3
 
 
@@ -69,20 +75,18 @@ def _probe_rays(profile, frame, p, u1, u2):
     return p + off, dirs, maxdist, r
 
 
-def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
+def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
     """Direct Lambert irradiance-reflectance at probe hits: one area sample
     per light MIS-combined with one cosine-hemisphere sample (the two
     strategies AiEvaluateLightSample runs for the reference's OrenNayar(0)
     light loop, rlSss.h:439-454 — pure area sampling explodes when a large
     light nearly touches the surface, e.g. testsuite case 0010).
     Returns (N, 3)."""
-    scene = tr.scene
-    static = tr.static
     n = surf_p.shape[0]
     out = jnp.zeros((n, 3))
 
     dirs, dists, rads, pdfs = [], [], [], []
-    ql = scene.quad_lights
+    ql = sc.quad_lights
     if sum(static.quad_valid):
         lsel = [i for i, v in enumerate(static.quad_valid) if v]
         u = rng.uniform2(rng.fold(key, 11), (n, len(lsel), 1))
@@ -96,7 +100,7 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
         dists.append(ls.dist.reshape(n, k))
         rads.append(ls.radiance.reshape(n, k, 3))
         pdfs.append(ls.pdf.reshape(n, k))
-    dl = scene.disk_lights
+    dl = sc.disk_lights
     if sum(static.disk_valid):
         lsel = [i for i, v in enumerate(static.disk_valid) if v]
         u = rng.uniform2(rng.fold(key, 12), (n, len(lsel), 1))
@@ -110,9 +114,9 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
         dists.append(ls.dist.reshape(n, k))
         rads.append(ls.radiance.reshape(n, k, 3))
         pdfs.append(ls.pdf.reshape(n, k))
-    if scene.sky.exists:
+    if static.sky_exists:
         u = rng.uniform2(rng.fold(key, 13), (n, 1, 1))
-        ls = lightsmod.sample_sky_batched(scene.sky.radiance, surf_n, u)
+        ls = lightsmod.sample_sky_batched(sc.sky_radiance, surf_n, u)
         dirs.append(ls.direction.reshape(n, 1, 3))
         dists.append(ls.dist.reshape(n, 1))
         rads.append(ls.radiance.reshape(n, 1, 3))
@@ -120,8 +124,6 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
     if not dirs:
         return out
 
-    # NOTE: the per-light "rads" above are PRE-divided by the light pdf; we
-    # also need the raw pdf for MIS, so recompute it from the stored ratio.
     wi = jnp.concatenate(dirs, axis=1)
     dist = jnp.concatenate(dists, axis=1)
     rad = jnp.concatenate(rads, axis=1)
@@ -136,7 +138,7 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
     p_flat = jnp.broadcast_to(surf_p[:, None, :], (n, k, 3)).reshape(-1, 3)
     ex_flat = jnp.broadcast_to(exclude_tri[:, None], (n, k)).reshape(-1)
     shadowed = tracemod.occluded(
-        tr.accel, scene.geometry,
+        sc.accel, sc.geometry,
         p_flat + wi.reshape(-1, 3) * RAY_EPS, wi.reshape(-1, 3),
         dist.reshape(-1) - 2 * RAY_EPS,
         vis_mask=VIS_SHADOW, exclude_tri=ex_flat,
@@ -155,33 +157,31 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
 
     emit = jnp.zeros((n, 3))
     hit_t = jnp.full((n,), 1e30)
-    ql2 = scene.quad_lights
-    for li in range(int(ql2.verts.shape[0])):
+    for li in range(len(static.quad_valid)):
         if not static.quad_valid[li]:
             continue
-        hq, tq = lightsmod.intersect_quad(ql2.verts[li], ql2.normal[li], surf_p, bdir)
-        pl_q = lightsmod.pdf_quad(ql2.verts[li], ql2.normal[li], ql2.area[li],
+        hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], surf_p, bdir)
+        pl_q = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
                                   surf_p, bdir, tq)
         w_b = p_b / jnp.maximum(p_b + pl_q, 1e-12)
         take = hq & (tq < hit_t)
-        emit = jnp.where(take[..., None], ql2.radiance[li] * w_b[..., None], emit)
+        emit = jnp.where(take[..., None], ql.radiance[li] * w_b[..., None], emit)
         hit_t = jnp.where(take, tq, hit_t)
-    dl2 = scene.disk_lights
-    for li in range(int(dl2.center.shape[0])):
+    for li in range(len(static.disk_valid)):
         if not static.disk_valid[li]:
             continue
-        hq, tq = lightsmod.intersect_disk(dl2.center[li], dl2.u[li], dl2.v[li],
-                                          dl2.normal[li], surf_p, bdir)
-        cos_ld = jnp.abs(jnp.sum(-bdir * dl2.normal[li], -1))
-        pl_q = (tq * tq) / jnp.maximum(cos_ld * dl2.area[li], 1e-12)
+        hq, tq = lightsmod.intersect_disk(dl.center[li], dl.u[li], dl.v[li],
+                                          dl.normal[li], surf_p, bdir)
+        cos_ld = jnp.abs(jnp.sum(-bdir * dl.normal[li], -1))
+        pl_q = (tq * tq) / jnp.maximum(cos_ld * dl.area[li], 1e-12)
         w_b = p_b / jnp.maximum(p_b + pl_q, 1e-12)
         take = hq & (tq < hit_t)
-        emit = jnp.where(take[..., None], dl2.radiance[li] * w_b[..., None], emit)
+        emit = jnp.where(take[..., None], dl.radiance[li] * w_b[..., None], emit)
         hit_t = jnp.where(take, tq, hit_t)
 
     any_emit = hit_t < 1e30
     b_shadow = tracemod.occluded(
-        tr.accel, scene.geometry,
+        sc.accel, sc.geometry,
         surf_p + bdir * RAY_EPS, bdir,
         jnp.where(any_emit, hit_t, 0.0) - 2 * RAY_EPS,
         vis_mask=VIS_SHADOW, exclude_tri=exclude_tri,
@@ -189,45 +189,40 @@ def _lambert_direct(tr, surf_p, surf_n, exclude_tri, key):
     # f/p_b for a cosine sample of Lambert is exactly 1/pi * cos / (cos/pi) = 1
     out = out + jnp.where((any_emit & ~b_shadow)[..., None], emit, 0.0)
     # skydome seen by the cosine sample (no scene hit)
-    if scene.sky.exists:
+    if static.sky_exists:
         sky_vis = ~tracemod.occluded(
-            tr.accel, scene.geometry,
+            sc.accel, sc.geometry,
             surf_p + bdir * RAY_EPS, bdir, jnp.full((n,), 1e12),
             vis_mask=VIS_SHADOW, exclude_tri=exclude_tri,
         ) & ~any_emit
         # MIS vs the sky's cosine sampler (identical pdfs -> weight 1/2)
-        out = out + jnp.where(sky_vis[..., None], scene.sky.radiance * 0.5, 0.0)
+        out = out + jnp.where(sky_vis[..., None], sc.sky_radiance * 0.5, 0.0)
     return out
 
 
-def sss_stage(tr, surf0, matg0, key):
-    """Compute the SSS radiance for camera hits on skin materials.
-
-    Returns (N, 3); zero for non-skin hits. `tr` is the TileRenderer (for
-    scene/static/accel access and traced queries).
-    """
-    scene = tr.scene
-    opts = scene.options
-    n0 = surf0.p.shape[0]
-    is_skin = (matg0.mtype == MAT_SKIN) & surf0.valid
-    n_sss = opts.gi_sss_samples ** 2
-
-    profile0 = sp.make_nd_profile(matg0.sss_dist)  # fields (N0, ...)
+@partial(jax.jit, static_argnames=("static", "n_sss", "gi_diffuse", "k_probe"))
+def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
+           sss_color, sss_weight, cavity_flag, key, *, n_sss, gi_diffuse,
+           k_probe):
+    """The fused probe-march SSS program (all K_PROBE traces inside)."""
+    n0 = surf_p.shape[0]
+    profile0 = sp.make_nd_profile(sss_dist)  # fields (N0, ...)
     # probe frame: smooth normal up-axis (rlSss.h:147-158)
-    frame0 = build_frame_polar(surf0.ns)
+    frame0 = build_frame_polar(surf_ns)
 
     # flatten (N0, S) probe batch, ray-major
     s_total = n_sss
     rep = lambda a: jnp.repeat(a, s_total, axis=0)
     prof_f = jax.tree_util.tree_map(rep, profile0)
     frame_f = jax.tree_util.tree_map(rep, frame0)
-    p_f = rep(surf0.p)
-    ns_f = rep(surf0.ns)
-    mesh_f = rep(surf0.mesh_id)
-    skin_f = rep(is_skin)
+    p_f = rep(surf_p)
+    ns_f = rep(surf_ns)
+    mesh_f = rep(surf_mesh)
+    skin_f = rep(is_sss)
+    cav_f = rep(cavity_flag)
     nf_total = n0 * s_total
 
-    u = rng.stratified2(rng.fold(key, 1), (n0,), opts.gi_sss_samples).reshape(
+    u = rng.stratified2(rng.fold(key, 1), (n0,), int(n_sss ** 0.5)).reshape(
         nf_total, 2
     )
     o_probe, d_probe, maxdist, _r = _probe_rays(
@@ -238,15 +233,15 @@ def sss_stage(tr, surf0, matg0, key):
     origin = o_probe
     remaining = maxdist
     exclude = jnp.full((nf_total,), -1, jnp.int32)
+    g = sc.geometry
 
-    for k_step in range(K_PROBE):
+    for k_step in range(k_probe):
         hit = tracemod.nearest(
-            tr.accel, scene.geometry, origin + d_probe * RAY_EPS, d_probe,
+            sc.accel, g, origin + d_probe * RAY_EPS, d_probe,
             vis_mask=0xFF, exclude_tri=exclude,
         )
         seg_ok = skin_f & (hit.tri >= 0) & (hit.t < remaining)
         tri = jnp.maximum(hit.tri, 0)
-        g = scene.geometry
         hp = origin + d_probe * (hit.t[..., None] + RAY_EPS)
         w = 1.0 - hit.u - hit.v
         hn = normalize(
@@ -271,20 +266,22 @@ def sss_stage(tr, surf0, matg0, key):
         inward = dot(ns_f, disp_dir) < 0.0
         cos_cav = jnp.where(inward, cos_cav_out, cos_cav_in)
         fade = jnp.sqrt(jnp.clip((1.0 + cos_cav) * 0.5, 0.0, 1.0))
-        cavity = jnp.where(rep(matg0.cavity_fadeout), fade, cavity)
+        cavity = jnp.where(cav_f, fade, cavity)
 
         # direct Lambert at the probe hit
-        direct = _lambert_direct(tr, hp, hn, jnp.where(shade_ok, hit.tri, -1),
-                                 rng.fold(key, 100 + k_step))
+        direct = _lambert_direct(
+            sc, static, hp, hn, jnp.where(shade_ok, hit.tri, -1),
+            rng.fold(key, 100 + k_step),
+        )
 
         # one cosine-sampled indirect diffuse bounce (rlSss.h:456-483)
-        if opts.gi_diffuse_depth > 0:
+        if gi_diffuse > 0:
             ub = rng.uniform2(rng.fold(key, 200 + k_step), (nf_total, 1))[:, 0]
             local = cosine_sample_hemisphere(ub[..., 0], ub[..., 1])
             hframe = build_frame_polar(hn)
             bdir = to_world(hframe, local)
             bhit = tracemod.nearest(
-                tr.accel, scene.geometry, hp + bdir * RAY_EPS, bdir,
+                sc.accel, g, hp + bdir * RAY_EPS, bdir,
                 vis_mask=0xFF, exclude_tri=jnp.where(shade_ok, hit.tri, -1),
             )
             btri = jnp.maximum(bhit.tri, 0)
@@ -296,12 +293,12 @@ def sss_stage(tr, surf0, matg0, key):
             )
             bn = jnp.where(dot(bn, -bdir)[..., None] < 0.0, -bn, bn)
             b_direct = _lambert_direct(
-                tr, bp, bn, jnp.where(bhit.tri >= 0, bhit.tri, -1),
+                sc, static, bp, bn, jnp.where(bhit.tri >= 0, bhit.tri, -1),
                 rng.fold(key, 300 + k_step),
             )
             # bounce hit shades as the skin fallback: albedo * direct
-            b_albedo = scene.materials.sss_color[g.mat_id[btri]] * (
-                scene.materials.sss_weight[g.mat_id[btri]][..., None]
+            b_albedo = sc.materials.sss_color[g.mat_id[btri]] * (
+                sc.materials.sss_weight[g.mat_id[btri]][..., None]
             )
             bounce = jnp.where(
                 (bhit.tri >= 0)[..., None], b_direct * b_albedo, 0.0
@@ -336,5 +333,57 @@ def sss_stage(tr, surf0, matg0, key):
         exclude = jnp.where(seg_ok, hit.tri, -1)
 
     sss = accum.reshape(n0, s_total, 3).mean(axis=1)
-    albedo = matg0.sss_color * matg0.sss_weight[..., None]
-    return jnp.where(is_skin[..., None], sss * albedo, 0.0)
+    albedo = sss_color * sss_weight[..., None]
+    return jnp.where(is_sss[..., None], sss * albedo, 0.0)
+
+
+def sss_stage(tr, surf0, matg0, key, n_sss=None, k_probe=K_PROBE):
+    """Compute the SSS radiance for hits on subsurface materials:
+    rlSkin (rlSss.h:170-277) and the Arnold `standard` shader's Ksss lobe
+    (sss_weight = Ksss, sss_dist = sss_radius; e.g. the test scene's logo
+    disc, test_geo.ass SA_logo Ksss 0.2 sss_radius 1).
+
+    Returns (N, 3); zero for non-SSS hits. `tr` is the TileRenderer (for
+    the device scene, statics and options).
+
+    The probe batch is COMPACTED to the SSS-material lanes first (bucketed
+    to power-of-two sizes to bound compile variants): scenes where SSS
+    covers a few percent of the frame (the logo disc) pay a few percent of
+    the probe cost, not all of it. Compaction needs a host sync on the lane
+    count, so it is skipped when called under an outer trace (shard_map)."""
+    opts = tr.scene.options
+    n = int(n_sss or opts.gi_sss_samples ** 2)
+    s = max(int(np.sqrt(n)) ** 2, 1)  # stratified grid needs a square count
+    is_sss = (matg0.sss_weight > 1e-5) & surf0.valid
+    n0 = surf0.p.shape[0]
+
+    def run(p, ns_, mesh, mask, dist, color, weight, cav, nlanes):
+        tr.stats["nearest_rays"] += nlanes * s * k_probe
+        return _j_sss(
+            tr.sc, tr.static, p, ns_, mesh, mask, dist, color, weight, cav,
+            key, n_sss=s, gi_diffuse=int(opts.gi_diffuse_depth),
+            k_probe=k_probe,
+        )
+
+    if isinstance(is_sss, jax.core.Tracer):
+        return run(surf0.p, surf0.ns, surf0.mesh_id, is_sss,
+                   matg0.sss_dist, matg0.sss_color, matg0.sss_weight,
+                   matg0.cavity_fadeout, n0)
+
+    cnt = int(jnp.sum(is_sss))
+    if cnt == 0:
+        return jnp.zeros((n0, 3), jnp.float32)
+    bucket = 1024
+    while bucket < cnt:
+        bucket *= 2
+    if bucket >= n0:
+        return run(surf0.p, surf0.ns, surf0.mesh_id, is_sss,
+                   matg0.sss_dist, matg0.sss_color, matg0.sss_weight,
+                   matg0.cavity_fadeout, n0)
+    idx = jnp.argsort(~is_sss)[:bucket]  # SSS lanes first
+    out = run(
+        surf0.p[idx], surf0.ns[idx], surf0.mesh_id[idx], is_sss[idx],
+        matg0.sss_dist[idx], matg0.sss_color[idx], matg0.sss_weight[idx],
+        matg0.cavity_fadeout[idx], bucket,
+    )
+    return jnp.zeros((n0, 3), jnp.float32).at[idx].set(out)

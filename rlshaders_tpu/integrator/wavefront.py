@@ -1,28 +1,37 @@
-"""Wavefront path-tracing integrator (staged).
+"""Wavefront path-tracing integrator (staged, fused).
 
 The TPU-native inversion of the reference's recursive callback architecture
-(SURVEY.md section 7). The frame is rendered as a pipeline of fused stages:
+(SURVEY.md section 7). The frame is rendered as a small number of FUSED
+compiled programs per ray generation:
 
-    trace -> shade_camera(prepare + light grid) -> occlude -> reduce+spawn
-          -> per lobe family: trace -> pickup+light grid -> occlude -> reduce
-          -> refraction chain to GI_refraction_depth
+    gen_shade   = trace (Pallas) + surface/material prepare + shadow
+                  occlusion (Pallas) + direct-light MIS reduce
+    lobe_family = BSDF spawn + trace (Pallas) + analytic light pickup
+    spec_direct = 1-sample BSDF-strategy direct light + occlusion (Pallas)
 
-Each ray-tracing step is the Pallas cluster kernel (its own compiled
-program); everything between two traces is one jitted stage. Intermediate
-SoA buffers never leave the device. This staging keeps each compiled graph
-small (seconds to compile) while XLA still fuses all shading math.
+Each is a MODULE-LEVEL jitted function taking the scene as a device-array
+pytree argument (`DeviceScene`) plus a hashable `SceneStatic` — so compiled
+programs contain no embedded scene constants (fast compiles), upload scene
+data exactly once (one device_put per build), and are REUSED across tiles,
+renders, and scenes of identical table shapes (the whole shared-scene
+testsuite compiles once). Host code only orchestrates the generation tree
+(depth-gated recursion, rlGgx.cpp:151-154 semantics).
 
 Light transport replicates the reference estimator:
 * camera hit: direct light MIS loop (rlGgx.cpp:285-295) + indirect
   diffuse/glossy splitting with GI_*_samples^2 rays (rlGgx.cpp:307-323) +
   rough refraction (integrateRefract, rlGgx.h:205-246).
-* secondary hits: direct light only; refraction continues to depth.
+* secondary hits: direct light + depth-gated continuation families for the
+  `standard` host shader (Arnold recursion), direct-only for the reference
+  plugin materials (their indirect is camera-only: rlGgx.cpp:307 gate).
 * area lights are "virtual geometry": BSDF rays pick up quad/disk emission
   analytically, balance-heuristic MIS against the light sampler; the skydome
   is picked up at ray escape (the two-strategy MIS of AiEvaluateLightSample).
 """
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -37,6 +46,8 @@ from ..core.vecmath import dot, normalize
 from ..models import dispatch
 from ..scene.build import (
     MAT_DISNEY,
+    MAT_SKIN,
+    MAT_STANDARD,
     Scene,
     VIS_CAMERA,
     VIS_DIFFUSE,
@@ -50,33 +61,97 @@ from . import lights as lightsmod
 RAY_EPS = 1e-3
 
 
+class DeviceScene(NamedTuple):
+    """The traced-argument scene: every leaf is a device array. Passed to
+    each fused stage so XLA programs carry no scene constants."""
+
+    geometry: "object"     # scene.build.Geometry
+    materials: "object"    # scene.build.Materials
+    quad_lights: "object"  # scene.build.QuadLights
+    disk_lights: "object"  # scene.build.DiskLights
+    sky_radiance: jnp.ndarray  # (3,)
+    textures: "object"     # scene.texture.TextureStack
+    accel: "object"        # accel.trace.Accel (BVH arrays + Pallas packing)
+
+
 class SceneStatic(NamedTuple):
+    """Hashable compile-time scene/render facts (static jit argument)."""
+
     quad_valid: tuple
     disk_valid: tuple
     quad_samples: tuple
     disk_samples: tuple
+    quad_w_d: tuple        # per light: affect_diffuse * diffuse_weight
+    quad_w_s: tuple
+    disk_w_d: tuple
+    disk_w_s: tuple
+    sky_exists: bool
+    sky_samples: int
+    sky_w_d: float
+    sky_w_s: float
     has_refract: bool
-    has_skin: bool
+    has_skin: bool         # any SSS lobe (rlSkin or standard Ksss)
+    has_skin_mat: bool     # a true rlSkin material (SSS on secondary rays)
     has_bump: bool
     has_transparent: bool
+    nb_d: int              # camera-level BSDF-strategy counts for MIS
+    nb_g: int
 
     @staticmethod
     def of(scene: Scene) -> "SceneStatic":
-        from ..scene.build import MAT_SKIN as _SKIN
-
+        ql, dl, sky, o = (scene.quad_lights, scene.disk_lights, scene.sky,
+                          scene.options)
+        qad = np.asarray(ql.affect_diffuse, np.float32)
+        qas = np.asarray(ql.affect_specular, np.float32)
+        qdw = np.asarray(ql.diffuse_weight, np.float32)
+        qsw = np.asarray(ql.specular_weight, np.float32)
+        dad = np.asarray(dl.affect_diffuse, np.float32)
+        das = np.asarray(dl.affect_specular, np.float32)
+        has_refract = bool(np.any(np.asarray(scene.materials.kt) > 1e-5))
         return SceneStatic(
-            quad_valid=tuple(bool(x) for x in np.asarray(scene.quad_lights.valid)),
-            disk_valid=tuple(bool(x) for x in np.asarray(scene.disk_lights.valid)),
-            quad_samples=tuple(int(x) for x in np.asarray(scene.quad_lights.samples)),
-            disk_samples=tuple(int(x) for x in np.asarray(scene.disk_lights.samples)),
-            has_refract=bool(np.any(np.asarray(scene.materials.kt) > 1e-5)),
-            has_skin=bool(np.any(np.asarray(scene.materials.mtype) == _SKIN)),
+            quad_valid=tuple(bool(x) for x in np.asarray(ql.valid)),
+            disk_valid=tuple(bool(x) for x in np.asarray(dl.valid)),
+            quad_samples=tuple(int(x) for x in np.asarray(ql.samples)),
+            disk_samples=tuple(int(x) for x in np.asarray(dl.samples)),
+            quad_w_d=tuple(float(a * b) for a, b in zip(qad, qdw)),
+            quad_w_s=tuple(float(a * b) for a, b in zip(qas, qsw)),
+            disk_w_d=tuple(float(x) for x in dad),
+            disk_w_s=tuple(float(x) for x in das),
+            sky_exists=bool(scene.sky.exists),
+            sky_samples=int(scene.sky.samples),
+            sky_w_d=float(scene.sky.affect_diffuse),
+            sky_w_s=float(scene.sky.affect_specular),
+            has_refract=has_refract,
+            # any SSS lobe: rlSkin, or a standard shader with Ksss > 0
+            has_skin=bool(
+                np.any(np.asarray(scene.materials.mtype) == MAT_SKIN)
+                or np.any(np.asarray(scene.materials.sss_weight) > 1e-5)
+            ),
+            has_skin_mat=bool(
+                np.any(np.asarray(scene.materials.mtype) == MAT_SKIN)
+            ),
             has_bump=bool(np.any(np.asarray(scene.materials.bump_tex) >= 0)),
             has_transparent=bool(
-                np.any(np.asarray(scene.materials.kt) > 1e-5)
+                has_refract
                 or np.any(np.asarray(scene.materials.opacity) < 1.0 - 1e-5)
             ),
+            nb_d=(o.gi_diffuse_samples ** 2 if o.gi_diffuse_depth > 0 else 0),
+            nb_g=(o.gi_glossy_samples ** 2 if o.gi_glossy_depth > 0 else 0),
         )
+
+
+def device_scene(scene: Scene, accel) -> DeviceScene:
+    """One device_put of the full SoA scene pytree (single upload)."""
+    sky_rad = scene.sky.radiance if scene.sky.exists else jnp.zeros(3)
+    return jax.device_put(DeviceScene(
+        geometry=scene.geometry,
+        materials=scene.materials,
+        quad_lights=scene.quad_lights,
+        disk_lights=scene.disk_lights,
+        sky_radiance=jnp.asarray(sky_rad, jnp.float32),
+        textures=scene.textures,
+        accel=accel,
+    ))
 
 
 class Surface(NamedTuple):
@@ -90,10 +165,13 @@ class Surface(NamedTuple):
     tri: jnp.ndarray
     entering: jnp.ndarray
     valid: jnp.ndarray
+    fp: jnp.ndarray      # (N,) world-space footprint diameter at the hit
+    fp_uv: jnp.ndarray   # (N,) footprint mapped through the tri's UV density
 
 
-def _surface(scene: Scene, t, tri_in, uu, vv, o, d) -> Surface:
-    g = scene.geometry
+def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
+             base_fp=None, spread=None) -> Surface:
+    g = sc.geometry
     tri = jnp.maximum(tri_in, 0)
     valid = tri_in >= 0
     e1 = g.e1[tri]
@@ -110,11 +188,31 @@ def _surface(scene: Scene, t, tri_in, uu, vv, o, d) -> Surface:
     entering = dot(ng, d) < 0.0
     sign = jnp.where(dot(ns, d) < 0.0, 1.0, -1.0)
     nf = ns * sign[..., None]
+
+    # Ray-cone footprint for texture LOD (Arnold tracks dPdx/dPdy ray
+    # differentials through sg; a cone is the batched equivalent): the
+    # world footprint grows linearly with distance, inflated at grazing
+    # incidence by 1/sqrt|cos| (geometric mean of the anisotropic ellipse
+    # axes, trading alias vs blur for an isotropic mip lookup).
+    if base_fp is None:
+        base_fp = jnp.zeros_like(t)
+    if spread is None:
+        spread = jnp.zeros_like(t)
+    tc = jnp.where(valid, t, 0.0)
+    cosg = jnp.abs(dot(ng, d))
+    fp = (base_fp + spread * tc) / jnp.sqrt(jnp.maximum(cosg, 0.05))
+    # per-triangle UV density: texels-per-world from the uv/world area ratio
+    duv1 = g.uv1[tri] - g.uv0[tri]
+    duv2 = g.uv2[tri] - g.uv0[tri]
+    area_uv = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])
+    area_w = jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    uv_density = jnp.sqrt(area_uv / jnp.maximum(area_w, 1e-20))
     return Surface(
         p=p, ng=ng, ns=ns, nf=nf, uv=uv,
         mat_id=g.mat_id[tri], mesh_id=g.mesh_id[tri],
         tri=jnp.where(valid, tri_in, -1),
         entering=entering, valid=valid,
+        fp=fp, fp_uv=fp * uv_density,
     )
 
 
@@ -134,12 +232,13 @@ class LightGrid(NamedTuple):
     nl: jnp.ndarray       # (K,) sample counts for MIS
 
 
-def _light_grid(scene, static, surf, key, camera_level) -> LightGrid:
+def _light_grid(sc: DeviceScene, static: SceneStatic, surf, key,
+                camera_level) -> LightGrid:
     n = surf.p.shape[0]
     dirs, dists, rads, pdfs = [], [], [], []
     col_w_d, col_w_s, col_nl = [], [], []
 
-    ql = scene.quad_lights
+    ql = sc.quad_lights
     if sum(static.quad_valid):
         lsel = [i for i, v in enumerate(static.quad_valid) if v]
         s_per = max(static.quad_samples[i] for i in lsel) if camera_level else 1
@@ -160,17 +259,11 @@ def _light_grid(scene, static, surf, key, camera_level) -> LightGrid:
         rads.append(ls.radiance.reshape(n, k, 3))
         pdfs.append(ls.pdf.reshape(n, k))
         for i in lsel:
-            aff_d = float(np.asarray(ql.affect_diffuse)[i]) * float(
-                np.asarray(ql.diffuse_weight)[i]
-            )
-            aff_s = float(np.asarray(ql.affect_specular)[i]) * float(
-                np.asarray(ql.specular_weight)[i]
-            )
-            col_w_d += [aff_d / s] * s
-            col_w_s += [aff_s / s] * s
+            col_w_d += [static.quad_w_d[i] / s] * s
+            col_w_s += [static.quad_w_s[i] / s] * s
             col_nl += [s] * s
 
-    dl = scene.disk_lights
+    dl = sc.disk_lights
     if sum(static.disk_valid):
         lsel = [i for i, v in enumerate(static.disk_valid) if v]
         s_per = max(static.disk_samples[i] for i in lsel) if camera_level else 1
@@ -191,20 +284,20 @@ def _light_grid(scene, static, surf, key, camera_level) -> LightGrid:
         rads.append(ls.radiance.reshape(n, k, 3))
         pdfs.append(ls.pdf.reshape(n, k))
         for i in lsel:
-            col_w_d += [float(np.asarray(dl.affect_diffuse)[i]) / s] * s
-            col_w_s += [float(np.asarray(dl.affect_specular)[i]) / s] * s
+            col_w_d += [static.disk_w_d[i] / s] * s
+            col_w_s += [static.disk_w_s[i] / s] * s
             col_nl += [s] * s
 
-    if scene.sky.exists:
-        s = max(scene.sky.samples, 1) if camera_level else 1
+    if static.sky_exists:
+        s = max(static.sky_samples, 1) if camera_level else 1
         u = rng.uniform2(rng.fold(key, 501), (n, 1, s))
-        ls = lightsmod.sample_sky_batched(scene.sky.radiance, surf.nf, u)
+        ls = lightsmod.sample_sky_batched(sc.sky_radiance, surf.nf, u)
         dirs.append(ls.direction.reshape(n, s, 3))
         dists.append(ls.dist.reshape(n, s))
         rads.append(ls.radiance.reshape(n, s, 3))
         pdfs.append(ls.pdf.reshape(n, s))
-        col_w_d += [float(scene.sky.affect_diffuse) / s] * s
-        col_w_s += [float(scene.sky.affect_specular) / s] * s
+        col_w_d += [static.sky_w_d / s] * s
+        col_w_s += [static.sky_w_s / s] * s
         col_nl += [s] * s
 
     return LightGrid(
@@ -255,34 +348,15 @@ def _direct_reduce(matg, frame, wo_local, grid: LightGrid, transmission,
     return diffuse, specular
 
 
-def _quad_lobe_factor(ql, li, lobe):
-    """Per-light affect_{diffuse,specular} * {diffuse,specular}_weight factor
-    for BSDF-sampled pickup, matching the factors the light-sample strategy
-    applies through LightGrid.w_d/w_s (Arnold light-weight semantics)."""
-    if lobe == "diffuse":
-        return float(np.asarray(ql.affect_diffuse)[li]) * float(
-            np.asarray(ql.diffuse_weight)[li]
-        )
-    return float(np.asarray(ql.affect_specular)[li]) * float(
-        np.asarray(ql.specular_weight)[li]
-    )
-
-
-def _disk_lobe_factor(dl, li, lobe):
-    if lobe == "diffuse":
-        return float(np.asarray(dl.affect_diffuse)[li])
-    return float(np.asarray(dl.affect_specular)[li])
-
-
-def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level,
+def _light_pickup(sc, static, o, d, scene_t, lobe_pdf, nb, camera_level,
                   lobe="specular"):
     n = o.shape[0]
     out = jnp.zeros((n, 3))
-    ql = scene.quad_lights
-    for li in range(int(ql.verts.shape[0])):
+    ql = sc.quad_lights
+    for li in range(len(static.quad_valid)):
         if not static.quad_valid[li]:
             continue
-        fac = _quad_lobe_factor(ql, li, lobe)
+        fac = static.quad_w_d[li] if lobe == "diffuse" else static.quad_w_s[li]
         if fac == 0.0:
             continue
         nl = static.quad_samples[li] ** 2 if camera_level else 1
@@ -293,11 +367,11 @@ def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level,
         out = out + jnp.where(
             vis[..., None], ql.radiance[li] * (fac * w)[..., None], 0.0
         )
-    dl = scene.disk_lights
-    for li in range(int(dl.center.shape[0])):
+    dl = sc.disk_lights
+    for li in range(len(static.disk_valid)):
         if not static.disk_valid[li]:
             continue
-        fac = _disk_lobe_factor(dl, li, lobe)
+        fac = static.disk_w_d[li] if lobe == "diffuse" else static.disk_w_s[li]
         if fac == 0.0:
             continue
         nl = static.disk_samples[li] ** 2 if camera_level else 1
@@ -314,168 +388,225 @@ def _light_pickup(scene, static, o, d, scene_t, lobe_pdf, nb, camera_level,
     return out
 
 
-def _sky_pickup(scene, nf_at_origin, d, miss, lobe_pdf, nb, lobe="specular"):
-    if not scene.sky.exists:
+def _sky_pickup(sc, static, nf_at_origin, d, miss, lobe_pdf, nb,
+                lobe="specular"):
+    if not static.sky_exists:
         return jnp.zeros(d.shape)
-    fac = float(
-        scene.sky.affect_diffuse if lobe == "diffuse" else scene.sky.affect_specular
-    )
+    fac = static.sky_w_d if lobe == "diffuse" else static.sky_w_s
     if fac == 0.0:
         return jnp.zeros(d.shape)
     p_l = lightsmod.pdf_sky(nf_at_origin, d)
     w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
-    return jnp.where(miss[..., None], scene.sky.radiance * (fac * w)[..., None], 0.0)
+    return jnp.where(miss[..., None], sc.sky_radiance * (fac * w)[..., None], 0.0)
 
 
-class TileRenderer:
-    """Per-(scene, tile-size) staged pipeline with separately jitted stages.
+def _quad_lobe_factor(static, li, lobe):
+    """Per-light affect_{diffuse,specular} * weight factor for BSDF-sampled
+    pickup, matching the light-sample strategy's LightGrid.w_d/w_s (Arnold
+    light-weight semantics)."""
+    return static.quad_w_d[li] if lobe == "diffuse" else static.quad_w_s[li]
 
-    Pallas trace kernels dispatch between stages; all buffers stay on device.
-    """
 
-    def __init__(self, scene: Scene, accel, aa_samples: int):
-        self.scene = scene
-        self.static = SceneStatic.of(scene)
-        self.accel = accel
-        self.aa = aa_samples
-        o = scene.options
-        self.nb_d = o.gi_diffuse_samples ** 2 if o.gi_diffuse_depth > 0 else 0
-        self.nb_g = o.gi_glossy_samples ** 2 if o.gi_glossy_depth > 0 else 0
-        self.nb_r = (
-            o.gi_refraction_samples ** 2
-            if (o.gi_refraction_depth > 0 and self.static.has_refract)
-            else 0
+def _disk_lobe_factor(static, li, lobe):
+    return static.disk_w_d[li] if lobe == "diffuse" else static.disk_w_s[li]
+
+
+def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
+    """Per-channel shadow transmission along the segments, (N, 3);
+    1 = fully visible.
+
+    Scenes with transmissive/transparent materials (rlGgx Kt shadows,
+    rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
+    transparent hits multiplying each surface's RGB shadow transmission
+    (colored Kt shadows stay colored); fully-opaque scenes keep the
+    single any-hit query."""
+    o, d, tmax, ex = sh
+    if not static.has_transparent:
+        blocked = tracemod.occluded(
+            sc.accel, sc.geometry, o, d, tmax,
+            vis_mask=VIS_SHADOW, exclude_tri=ex,
         )
-
-        self.stats = {"nearest_rays": 0, "shadow_rays": 0, "traces": 0}
-        self._j_prepare = jax.jit(self._prepare, static_argnames=("camera_level",))
-        self._j_reduce_direct = jax.jit(
-            self._reduce_direct, static_argnames=("camera_level", "indirect_scaled")
+        return jnp.broadcast_to(
+            (~blocked).astype(jnp.float32)[..., None], (o.shape[0], 3)
         )
-        self._j_spawn = jax.jit(self._spawn, static_argnames=("lobe", "nb"))
-        self._j_pickup = jax.jit(self._pickup, static_argnames=("nb", "lobe"))
-        self._j_refr_spawn = jax.jit(self._refr_spawn, static_argnames=("nb",))
-        self._j_spec_bsdf = jax.jit(self._spec_bsdf_direct, static_argnames=("lobe",))
-
-    # ----- stages (pure functions of device arrays + static flags) -----
-
-    def _prepare(self, t, tri, uu, vv, o, d, key, camera_level):
-        """Post-trace: surface, materials, shading frame, light-sample grid
-        and the flattened shadow rays for the occlusion kernel."""
-        surf = _surface(self.scene, t, tri, uu, vv, o, d)
-        if self.static.has_bump:
-            ns_b = dispatch.apply_bump(
-                self.scene.materials, self.scene.textures, surf.mat_id,
-                surf.p, surf.ns,
-            )
-            sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
-            surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
-        matg = dispatch.gather(
-            self.scene.materials, self.scene.textures, surf.mat_id, surf.uv,
-            surf.entering, surf.p,
+    mats = sc.materials
+    atten = jnp.ones((o.shape[0], 3), jnp.float32)
+    origin = o
+    remaining = tmax
+    exclude = ex
+    for _ in range(4):
+        hit = tracemod.nearest(
+            sc.accel, sc.geometry, origin, d,
+            vis_mask=VIS_SHADOW, exclude_tri=exclude,
         )
-        frame = build_frame_polar(surf.nf)
-        wo = to_local(frame, -d)
-        grid = _light_grid(self.scene, self.static, surf, key, camera_level)
-        n, k = grid.pdf.shape
-        sh_o = jnp.broadcast_to(surf.p[:, None, :], (n, k, 3)).reshape(-1, 3)
-        sh_d = grid.wi.reshape(-1, 3)
-        sh_t = grid.dist.reshape(-1)
-        sh_ex = jnp.broadcast_to(surf.tri[:, None], (n, k)).reshape(-1)
-        return surf, matg, frame, wo, grid, (sh_o + sh_d * RAY_EPS, sh_d,
-                                             sh_t - 2 * RAY_EPS, sh_ex)
+        ok = (hit.tri >= 0) & (hit.t < remaining)
+        tri = jnp.maximum(hit.tri, 0)
+        mid = sc.geometry.mat_id[tri]
+        kt = mats.kt[mid][..., None] * mats.kt_color[mid]
+        op = mats.opacity[mid]
+        # shadow transmission: Kt color for transmissive, else 1-opacity
+        trans = jnp.clip(jnp.maximum(kt, 1.0 - op), 0.0, 1.0)
+        atten = atten * jnp.where(ok[..., None], trans, 1.0)
+        step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
+        origin = origin + d * step[..., None]
+        remaining = remaining - step
+        exclude = jnp.where(ok, hit.tri, -1)
+        # early out handled by masking; atten==0 lanes waste work only
+    return atten
 
-    def _reduce_direct(self, surf, matg, frame, wo, grid, shadowed,
-                       camera_level, indirect_scaled):
-        # At the camera level the BSDF strategies are the spawned indirect
-        # ray families. At secondary hits BOTH lobes MIS against the 1-sample
-        # BSDF strategy added in _lobe_bsdf_direct: without it, a sharp lobe
-        # crossing a big light (specular) or a hit point adjacent to a light
-        # (diffuse: the shared scene's walls sit ~0.3 units behind the side
-        # lights, making the area pdf explode) is an unbounded-variance
-        # firefly factory. The reference's AiEvaluateLightSample always runs
-        # both strategies.
-        nb_d = self.nb_d if camera_level else 1
-        nb_g = self.nb_g if camera_level else 1
-        n = surf.p.shape[0]
-        shadowed = shadowed.reshape(n, -1, 3)
-        diffuse, specular = _direct_reduce(
-            matg, frame, wo, grid, shadowed, nb_d, nb_g
+
+# ---------------------------------------------------------------------------
+# Fused stage programs (module-level jit: compiled once per table-shape class,
+# shared across tiles, renders, TileRenderer instances and same-shape scenes)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=(
+    "static", "vis", "camera_level", "indirect_scaled", "with_trace"))
+def _j_gen_shade(sc, static, t, tri, uu, vv, o, d, key, base_fp, spread, *,
+                 vis, camera_level, indirect_scaled, with_trace):
+    """One fused program per generation: [trace] + prepare + shadow + direct
+    reduce. Returns (surf, matg, frame, wo, rgb, aov_d, aov_s, trace_pack)."""
+    if with_trace:
+        hit = tracemod.nearest(sc.accel, sc.geometry, o, d, vis_mask=vis)
+        t, tri, uu, vv = hit.t, hit.tri, hit.u, hit.v
+
+    surf = _surface(sc, t, tri, uu, vv, o, d, base_fp, spread)
+    if static.has_bump:
+        ns_b = dispatch.apply_bump(
+            sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
         )
-        if camera_level and self.static.has_skin:
-            # skin diffuse at camera level is replaced by the SSS probe stage
-            from ..scene.build import MAT_SKIN as _SKIN
+        sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
+        surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
+    matg = dispatch.gather(
+        sc.materials, sc.textures, surf.mat_id, surf.uv,
+        surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
+    )
+    frame = build_frame_polar(surf.nf)
+    wo = to_local(frame, -d)
+    grid = _light_grid(sc, static, surf, key, camera_level)
+    n, k = grid.pdf.shape
+    sh_o = jnp.broadcast_to(surf.p[:, None, :], (n, k, 3)).reshape(-1, 3)
+    sh_d = grid.wi.reshape(-1, 3)
+    sh_t = grid.dist.reshape(-1)
+    sh_ex = jnp.broadcast_to(surf.tri[:, None], (n, k)).reshape(-1)
+    shadowed = _shadow_transmission(
+        sc, static, (sh_o + sh_d * RAY_EPS, sh_d, sh_t - 2 * RAY_EPS, sh_ex)
+    ).reshape(n, k, 3)
 
-            diffuse = jnp.where((matg.mtype == _SKIN)[..., None], 0.0, diffuse)
-        if indirect_scaled:
-            is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
-            diffuse = jnp.where(
-                is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
-            )
-            specular = jnp.where(
-                is_dsy, specular * matg.indirect_specular_scale[..., None], specular
-            )
-        radiance = diffuse + specular + matg.emission
-        valid3 = surf.valid[..., None]
-        return (
-            jnp.where(valid3, radiance, 0.0),
-            jnp.where(valid3, diffuse, 0.0),
-            jnp.where(valid3, specular, 0.0),
+    # At the camera level the BSDF strategies are the spawned indirect ray
+    # families. At secondary hits BOTH lobes MIS against the 1-sample BSDF
+    # strategy of _j_spec_direct / the continuation family: without it, a
+    # sharp lobe crossing a big light or a hit adjacent to a light (area pdf
+    # explodes) is an unbounded-variance firefly factory. The reference's
+    # AiEvaluateLightSample always runs both strategies.
+    nb_d = static.nb_d if camera_level else 1
+    nb_g = static.nb_g if camera_level else 1
+    diffuse, specular = _direct_reduce(matg, frame, wo, grid, shadowed,
+                                       nb_d, nb_g)
+    if camera_level and static.has_skin:
+        # skin diffuse at camera level is replaced by the SSS probe stage
+        diffuse = jnp.where((matg.mtype == MAT_SKIN)[..., None], 0.0, diffuse)
+    if indirect_scaled:
+        is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
+        diffuse = jnp.where(
+            is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
         )
-
-    def _spawn(self, surf, matg, frame, wo, key, lobe, nb):
-        """BSDF-sample nb rays per hit for one lobe; returns flat rays +
-        per-sample weights/pdfs (ray-major layout)."""
-        n = surf.p.shape[0]
-        u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
-        matg_b = _expand(matg)
-        wo_b = wo[:, None, :]
-        if lobe == "diffuse":
-            wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0], u[..., 1])
-            f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
-            active = matg.has_diffuse
-            if self.static.has_skin:
-                from ..scene.build import MAT_SKIN as _SKIN
-
-                active = active & (matg.mtype != _SKIN)
-        else:
-            wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0], u[..., 1])
-            f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
-            active = matg.has_spec
-        frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-        wi_w = to_world(frame_b, wi_l)
-        ok = (
-            active[:, None] & surf.valid[:, None]
-            & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
-            & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _spec_bsdf_direct)
+        specular = jnp.where(
+            is_dsy, specular * matg.indirect_specular_scale[..., None], specular
         )
-        w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
-        o_flat = jnp.repeat(surf.p, nb, axis=0)
-        d_flat = wi_w.reshape(-1, 3)
-        return o_flat + d_flat * RAY_EPS, d_flat, w, jnp.where(ok, pdf, 0.0), ok
+    radiance = diffuse + specular + matg.emission
+    valid3 = surf.valid[..., None]
+    return (
+        surf, matg, frame, wo,
+        jnp.where(valid3, radiance, 0.0),
+        jnp.where(valid3, diffuse, 0.0),
+        jnp.where(valid3, specular, 0.0),
+        (t, tri, uu, vv),
+    )
 
-    def _refr_spawn(self, surf, matg, frame, wo, key, nb):
-        n = surf.p.shape[0]
-        u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
-        matg_b = _expand(matg)
-        wo_b = wo[:, None, :]
-        wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
-        ok = surf.valid[:, None] & matg.has_refract[:, None]
-        ok = jnp.broadcast_to(ok, wi_l.shape[:2])
-        frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-        wi_w = to_world(frame_b, wi_l)
-        o_flat = jnp.repeat(surf.p, nb, axis=0)
-        d_flat = wi_w.reshape(-1, 3)
-        return (
-            o_flat + d_flat * RAY_EPS, d_flat,
-            jnp.where(ok[..., None], wgt, 0.0), ok,
-        )
 
-    def _spec_bsdf_direct(self, surf, matg, frame, wo, key, lobe="specular"):
-        """One lobe sample per hit; returns (shadow rays, payload) for the
-        BSDF half of the secondary direct-light MIS."""
-        n = surf.p.shape[0]
-        u = rng.uniform2(key, (n, 1))[:, 0]
+def _spawn(sc, static, surf, matg, frame, wo, key, lobe, nb):
+    """BSDF-sample nb rays per hit for one lobe; returns flat rays +
+    per-sample weights/pdfs (ray-major layout)."""
+    n = surf.p.shape[0]
+    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
+    matg_b = _expand(matg)
+    wo_b = wo[:, None, :]
+    if lobe == "diffuse":
+        wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0], u[..., 1])
+        f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
+        active = matg.has_diffuse
+        if static.has_skin:
+            active = active & (matg.mtype != MAT_SKIN)
+    else:
+        wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0], u[..., 1])
+        f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
+        active = matg.has_spec
+    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+    wi_w = to_world(frame_b, wi_l)
+    ok = (
+        active[:, None] & surf.valid[:, None]
+        & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
+        & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _j_spec_direct)
+    )
+    w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
+    o_flat = jnp.repeat(surf.p, nb, axis=0)
+    d_flat = wi_w.reshape(-1, 3)
+    return o_flat + d_flat * RAY_EPS, d_flat, w, jnp.where(ok, pdf, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("static", "lobe", "nb", "cam_pickup"))
+def _j_family(sc, static, surf, matg, frame, wo, key, *, lobe, nb, cam_pickup):
+    """Fused lobe family: spawn + trace (Pallas) + analytic light/sky pickup.
+    Returns (o1, d1, w1, pick, trace_pack)."""
+    o1, d1, w1, pdf1, ok1 = _spawn(sc, static, surf, matg, frame, wo, key,
+                                   lobe, nb)
+    vis = VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY
+    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1, vis_mask=vis)
+    scene_t = jnp.where(hit.tri >= 0, hit.t, 1e30)
+    lobe_pdf = pdf1.reshape(-1)
+    nf_rep = jnp.repeat(surf.nf, nb, axis=0)
+    pick = _light_pickup(sc, static, o1, d1, scene_t, lobe_pdf, nb,
+                         cam_pickup, lobe=lobe)
+    pick = pick + _sky_pickup(sc, static, nf_rep, d1, hit.tri < 0, lobe_pdf,
+                              nb, lobe=lobe)
+    return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
+
+
+@partial(jax.jit, static_argnames=("static", "nb"))
+def _j_refr_family(sc, static, surf, matg, frame, wo, key, *, nb):
+    """Fused rough-refraction spawn (Walter Eq.41 weights) + trace."""
+    n = surf.p.shape[0]
+    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
+    matg_b = _expand(matg)
+    wo_b = wo[:, None, :]
+    wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
+    ok = surf.valid[:, None] & matg.has_refract[:, None]
+    ok = jnp.broadcast_to(ok, wi_l.shape[:2])
+    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+    wi_w = to_world(frame_b, wi_l)
+    o_flat = jnp.repeat(surf.p, nb, axis=0)
+    d_flat = wi_w.reshape(-1, 3)
+    o1 = o_flat + d_flat * RAY_EPS
+    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d_flat,
+                           vis_mask=VIS_REFRACTED)
+    return (
+        o1, d_flat, jnp.where(ok[..., None], wgt, 0.0), ok,
+        (hit.t, hit.tri, hit.u, hit.v),
+    )
+
+
+@partial(jax.jit, static_argnames=("static", "lobes"))
+def _j_spec_direct(sc, static, surf, matg, frame, wo, key, *, lobes):
+    """Fused BSDF half of the secondary-hit direct lighting for `lobes`:
+    one lobe sample per hit, analytic nearest-light emission, occlusion
+    (Pallas) — the 1-sample fallback when a lobe's GI depth is exhausted."""
+    n = surf.p.shape[0]
+    out = jnp.zeros((n, 3))
+    for i, lobe in enumerate(("specular", "diffuse")):
+        if lobe not in lobes:
+            continue
+        u = rng.uniform2(rng.fold(key, 4242 + i), (n, 1))[:, 0]
         matg_b = _expand(matg)
         wo_b = wo[:, None, :]
         if lobe == "specular":
@@ -489,11 +620,10 @@ class TileRenderer:
         wi_l = wi_l[:, 0]
         f = f[:, 0]
         pdf = pdf[:, 0]
-        frame1 = frame
-        wi_w = to_world(frame1, wi_l)
-        # wo.z > 1e-4 guards silhouette-grazing configs where the Disney pdf's
-        # max(1e-4, VdotN) clamp (rlDisney.cpp:535) diverges from the eval and
-        # f/pdf explodes (observed 7e4 fireflies)
+        wi_w = to_world(frame, wi_l)
+        # wo.z > 1e-4 guards silhouette-grazing configs where the Disney
+        # pdf's max(1e-4, VdotN) clamp (rlDisney.cpp:535) diverges from the
+        # eval and f/pdf explodes (observed 7e4 fireflies)
         ok = (
             active & surf.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
             & (wo[..., 2] > 1e-4)
@@ -502,16 +632,15 @@ class TileRenderer:
         # MIS vs the 1-sample light strategy; keep its distance so the
         # shadow query stops at the light (side walls sit just behind the
         # side lights in the shared scene)
-        scene = self.scene
-        static = self.static
         emit = jnp.zeros((n, 3))
         t_light = jnp.full((n,), 1e30)
-        ql = scene.quad_lights
-        for li in range(int(ql.verts.shape[0])):
+        ql = sc.quad_lights
+        for li in range(len(static.quad_valid)):
             if not static.quad_valid[li]:
                 continue
-            fac = _quad_lobe_factor(ql, li, lobe)
-            hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], surf.p, wi_w)
+            fac = _quad_lobe_factor(static, li, lobe)
+            hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li],
+                                              surf.p, wi_w)
             p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
                                      surf.p, wi_w, tq)
             w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
@@ -520,11 +649,11 @@ class TileRenderer:
                 take[..., None], ql.radiance[li] * (fac * w_b)[..., None], emit
             )
             t_light = jnp.where(take, tq, t_light)
-        dl = scene.disk_lights
-        for li in range(int(dl.center.shape[0])):
+        dl = sc.disk_lights
+        for li in range(len(static.disk_valid)):
             if not static.disk_valid[li]:
                 continue
-            fac = _disk_lobe_factor(dl, li, lobe)
+            fac = _disk_lobe_factor(static, li, lobe)
             hq, tq = lightsmod.intersect_disk(
                 dl.center[li], dl.u[li], dl.v[li], dl.normal[li], surf.p, wi_w
             )
@@ -537,126 +666,252 @@ class TileRenderer:
             )
             t_light = jnp.where(take, tq, t_light)
         w_over_pdf = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
-        return (surf.p + wi_w * RAY_EPS, wi_w, ok, t_light), w_over_pdf, emit
+        any_emit = jnp.max(emit, axis=-1) > 0.0
+        blocked = tracemod.occluded(
+            sc.accel, sc.geometry, surf.p + wi_w * RAY_EPS, wi_w,
+            jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
+            vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
+        )
+        lit = ok & any_emit & ~blocked
+        out = out + jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
+    return out
 
-    def _pickup(self, o, d, t, tri, lobe_pdf, nf0_rep, nb, lobe):
-        """Area-light + skydome pickup for BSDF-sampled rays."""
-        scene_t = jnp.where(tri >= 0, t, 1e30)
-        out = _light_pickup(self.scene, self.static, o, d, scene_t, lobe_pdf,
-                            nb, True, lobe=lobe)
-        out = out + _sky_pickup(self.scene, nf0_rep, d, tri < 0, lobe_pdf, nb,
-                                lobe=lobe)
+
+class TileRenderer:
+    """Host-side orchestration over the fused module-level stages.
+
+    The scene lives on device as one pytree (`DeviceScene`, a single
+    device_put) passed as an argument to each stage; compiled programs are
+    shared across tiles/instances/scenes of the same table shapes."""
+
+    def __init__(self, scene: Scene, accel, aa_samples: int):
+        self.scene = scene
+        self.static = SceneStatic.of(scene)
+        self.sc = device_scene(scene, accel)
+        self.accel = accel
+        self.aa = aa_samples
+        o = scene.options
+        self.nb_d = self.static.nb_d
+        self.nb_g = self.static.nb_g
+        self.nb_r = (
+            o.gi_refraction_samples ** 2
+            if (o.gi_refraction_depth > 0 and self.static.has_refract)
+            else 0
+        )
+
+        # per-unit-distance angular footprint of one pixel (ray-cone spread
+        # for texture LOD); AA samples share the pixel footprint like
+        # Arnold's per-pixel ray differentials
+        self.pix_spread = float(
+            2.0 * np.tan(np.deg2rad(scene.camera.fov_deg) * 0.5)
+            / max(scene.camera.xres, 1)
+        )
+        self.stats = {"nearest_rays": 0, "shadow_rays": 0, "traces": 0}
+        # RLS_PROFILE=1: per-stage wall timing (blocking) accumulated into
+        # stats as t_<stage>/n_<stage> — the SURVEY §5 profiling hook; pair
+        # with cli `render --profile` for a jax.profiler trace.
+        self.profile = os.environ.get("RLS_PROFILE", "0") == "1"
+
+    def _run(self, name, fn, *args, **kwargs):
+        """Invoke a stage; under RLS_PROFILE=1, block and accumulate wall
+        time per stage name (compile time lands in the first call)."""
+        if not self.profile:
+            return fn(*args, **kwargs)
+        t0 = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        self.stats[f"t_{name}"] = self.stats.get(f"t_{name}", 0.0) + dt
+        self.stats[f"n_{name}"] = self.stats.get(f"n_{name}", 0) + 1
         return out
 
-    # ----- host orchestration -----
-
-    def _spec_direct_secondary(self, surf, matg, frame, wo, key):
-        """BSDF half of the secondary-hit direct lighting, both lobes."""
-        if not (sum(self.static.quad_valid) or sum(self.static.disk_valid)):
-            return jnp.zeros_like(surf.p)
-        out = jnp.zeros_like(surf.p)
-        for i, lobe in enumerate(("specular", "diffuse")):
-            (o, d, ok, t_light), w_over_pdf, emit = self._j_spec_bsdf(
-                surf, matg, frame, wo, rng.fold(key, 4242 + i), lobe=lobe
-            )
-            any_emit = jnp.max(emit, axis=-1) > 0.0
-            blocked = tracemod.occluded(
-                self.accel, self.scene.geometry, o, d,
-                jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
-                vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
-            )
-            lit = ok & any_emit & ~blocked
-            out = out + jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
-        return out
-
-    def _trace(self, o, d, vis, exclude=None):
-        self.stats["nearest_rays"] += int(o.shape[0])
+    def _count_gen(self, n, k_shadow=None):
+        self.stats["nearest_rays"] += int(n)
         self.stats["traces"] += 1
-        hit = tracemod.nearest(self.accel, self.scene.geometry, o, d,
-                               vis_mask=vis, exclude_tri=exclude)
-        return hit.t, hit.tri, hit.u, hit.v
+        if k_shadow:
+            self.stats["shadow_rays"] += int(n * k_shadow)
 
-    def _shadow(self, sh):
-        """Per-channel shadow transmission along the segments, (N, 3);
-        1 = fully visible.
+    def _grid_k(self, camera_level: bool) -> int:
+        """Light-grid column count (shadow rays per hit) for stats."""
+        st = self.static
+        k = 0
+        for i, v in enumerate(st.quad_valid):
+            if v:
+                k += st.quad_samples[i] ** 2 if camera_level else 1
+        for i, v in enumerate(st.disk_valid):
+            if v:
+                k += st.disk_samples[i] ** 2 if camera_level else 1
+        if st.sky_exists:
+            k += max(st.sky_samples, 1) if camera_level else 1
+        return k
 
-        Scenes with transmissive/transparent materials (rlGgx Kt shadows,
-        rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
-        transparent hits multiplying each surface's RGB shadow transmission
-        (colored Kt shadows stay colored); fully-opaque scenes keep the
-        single any-hit query."""
-        o, d, tmax, ex = sh
-        self.stats["shadow_rays"] += int(o.shape[0])
-        if not self.static.has_transparent:
-            blocked = tracemod.occluded(
-                self.accel, self.scene.geometry, o, d, tmax,
-                vis_mask=VIS_SHADOW, exclude_tri=ex,
-            )
-            return jnp.broadcast_to(
-                (~blocked).astype(jnp.float32)[..., None], (o.shape[0], 3)
-            )
-        mats = self.scene.materials
-        atten = jnp.ones((o.shape[0], 3), jnp.float32)
-        origin = o
-        remaining = tmax
-        exclude = ex
-        for _ in range(4):
-            hit = tracemod.nearest(
-                self.accel, self.scene.geometry, origin, d,
-                vis_mask=VIS_SHADOW, exclude_tri=exclude,
-            )
-            ok = (hit.tri >= 0) & (hit.t < remaining)
-            tri = jnp.maximum(hit.tri, 0)
-            mid = self.scene.geometry.mat_id[tri]
-            kt = mats.kt[mid][..., None] * mats.kt_color[mid]
-            op = mats.opacity[mid]
-            # shadow transmission: Kt color for transmissive, else 1-opacity
-            trans = jnp.clip(jnp.maximum(kt, 1.0 - op), 0.0, 1.0)
-            atten = atten * jnp.where(ok[..., None], trans, 1.0)
-            step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
-            origin = origin + d * step[..., None]
-            remaining = remaining - step
-            exclude = jnp.where(ok, hit.tri, -1)
-            # early out handled by masking; atten==0 lanes waste work only
-        return atten
+    # ----- generation tree (host recursion, bounded by GI_*_depth) -----
+
+    def gen_shade(self, o, d, key, vis, camera_level, indirect_scaled,
+                  base_fp=None, spread=None, trace_pack=None):
+        """Run the fused shade program for one generation."""
+        n = o.shape[0]
+        if base_fp is None:
+            base_fp = jnp.zeros((n,), jnp.float32)
+        if spread is None:
+            spread = jnp.full((n,), self.pix_spread, jnp.float32)
+        if trace_pack is None:
+            z = jnp.zeros((n,), jnp.float32)
+            trace_pack = (z, jnp.zeros((n,), jnp.int32), z, z)
+            with_trace = True
+        else:
+            with_trace = False
+        self._count_gen(n, self._grid_k(camera_level))
+        t, tri, uu, vv = trace_pack
+        return self._run(
+            "gen_shade", _j_gen_shade,
+            self.sc, self.static, t, tri, uu, vv, o, d, key, base_fp, spread,
+            vis=vis, camera_level=camera_level,
+            indirect_scaled=indirect_scaled, with_trace=with_trace,
+        )
 
     def shade_generation(self, o, d, key, vis, camera_level, indirect_scaled,
-                         refr_left, is_refraction):
+                         is_refraction, rr=(0, 0, 0, 0), ray_lobe="camera",
+                         base_fp=None, spread=None, trace_pack=None):
         """Trace + fully shade one ray generation; returns (surf pack, rgb,
-        aov_d, aov_s). Recurses host-side for the refraction chain."""
-        t, tri, uu, vv = self._trace(o, d, vis)
-        surf, matg, frame, wo, grid, sh = self._j_prepare(
-            t, tri, uu, vv, o, d, key, camera_level=camera_level
+        aov_d, aov_s). `rr` = (Rr_diff, Rr_gloss, Rr_refr, Rr) recursion
+        counters AT this hit (the shader-globals depth fields the reference
+        gates on, rlGgx.cpp:151-154). Recurses host-side, bounded by the
+        GI_*_depth options."""
+        surf, matg, frame, wo, rgb, aov_d, aov_s, tp = self.gen_shade(
+            o, d, key, vis, camera_level, indirect_scaled,
+            base_fp, spread, trace_pack,
         )
-        shadowed = self._shadow(sh)
-        rgb, aov_d, aov_s = self._j_reduce_direct(
-            surf, matg, frame, wo, grid, shadowed,
-            camera_level=camera_level, indirect_scaled=indirect_scaled,
-        )
+        t, tri = tp[0], tp[1]
         if not camera_level:
-            rgb = rgb + self._spec_direct_secondary(surf, matg, frame, wo, key)
+            rgb = rgb + self._secondary_indirect(
+                surf, matg, frame, wo, key, ray_lobe, rr, indirect_scaled
+            )
+            # rlSkin evaluates the BSSRDF whenever the shader runs on a
+            # non-diffuse ray (rlSss.h:170-199), not just at camera hits —
+            # glossy/refraction re-entry sees SSS too (1 probe deep here).
+            # Gated to true rlSkin scenes: the standard shader's Ksss lobe
+            # is camera-only in Arnold 4.
+            if (self.static.has_skin_mat
+                    and ray_lobe in ("glossy", "refracted")
+                    and self.scene.options.gi_sss_samples > 0):
+                from . import sss as sssmod
+
+                rgb = rgb + self._run(
+                    "sss2", sssmod.sss_stage, self, surf, matg,
+                    rng.fold(key, 5), n_sss=1,
+                )
         if is_refraction:
             miss_rgb = jnp.where(
                 (tri < 0)[..., None],
-                self.scene.sky.radiance if self.scene.sky.exists else jnp.zeros(3),
+                self.sc.sky_radiance if self.static.sky_exists else jnp.zeros(3),
                 0.0,
             )
             rgb = rgb + miss_rgb
 
-        if refr_left > 0 and self.static.has_refract:
-            o2, d2, wgt, ok = self._j_refr_spawn(
-                surf, matg, frame, wo, rng.fold(key, 900), 1
+        opts = self.scene.options
+        rd, rg, rrf, rt = rr
+        if (rrf < opts.gi_refraction_depth and rt < opts.gi_total_depth
+                and self.static.has_refract):
+            self._count_gen(surf.p.shape[0])
+            o2, d2, wgt, ok, tp2 = self._run(
+                "refr", _j_refr_family,
+                self.sc, self.static, surf, matg, frame, wo,
+                rng.fold(key, 900), nb=1,
             )
             sub_pack = self.shade_generation(
                 o2, d2, rng.fold(key, 33), VIS_REFRACTED,
                 camera_level=False, indirect_scaled=indirect_scaled,
-                refr_left=refr_left - 1, is_refraction=True,
+                is_refraction=True, rr=(rd, rg, rrf + 1, rt + 1),
+                ray_lobe="refracted",
+                base_fp=surf.fp,
+                spread=jnp.maximum(matg.ggx.alpha_g, self.pix_spread),
+                trace_pack=tp2,
             )
             sub_rgb = sub_pack[1]
             n = surf.p.shape[0]
             add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
             rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
         return (surf, matg, frame, wo), rgb, aov_d, aov_s
+
+    def _lobe_family(self, surf, matg, frame, wo, key, lobe, nb, rr,
+                     indirect_scaled, cam_pickup=False, scale=None):
+        """Spawn nb BSDF rays for `lobe`, pick up light emission (two-strategy
+        MIS) and recurse one generation deeper. At secondary hits the deeper
+        surface radiance counts only for `standard`-shader materials: the
+        reference plugins integrate indirect at CAMERA hits only
+        (rlGgx.cpp:307-323 `sg->Rt & AI_RAY_CAMERA`), while Arnold's own
+        standard shader recurses to the GI_*_depth gates — the host recursion
+        this method re-expresses as a bounded wavefront chain."""
+        n = surf.p.shape[0]
+        self._count_gen(n * nb)
+        o1, d1, w1, pick, tp1 = self._run(
+            "family", _j_family,
+            self.sc, self.static, surf, matg, frame, wo, key,
+            lobe=lobe, nb=nb, cam_pickup=cam_pickup,
+        )
+        if lobe == "diffuse":
+            spread1 = jnp.full((n * nb,), 1.0, jnp.float32)
+        else:
+            spread1 = jnp.repeat(
+                jnp.maximum(matg.ggx.alpha_g, self.pix_spread), nb, axis=0
+            )
+        _, sub_rgb, _, _ = self.shade_generation(
+            o1, d1, rng.fold(key, 7),
+            VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY,
+            camera_level=False, indirect_scaled=indirect_scaled,
+            is_refraction=False, rr=rr, ray_lobe=lobe,
+            base_fp=jnp.repeat(surf.fp, nb, axis=0), spread=spread1,
+            trace_pack=tp1,
+        )
+        if cam_pickup:
+            sub = pick + sub_rgb
+        else:
+            # deeper-surface radiance is standard-shader-only at secondary
+            # hits (reference plugins: camera-only indirect)
+            is_std = jnp.repeat(matg.mtype == MAT_STANDARD, nb, axis=0)
+            sub = pick + jnp.where(is_std[..., None], sub_rgb, 0.0)
+        out = (w1 * sub.reshape(n, nb, 3)).mean(axis=1)
+        if scale is not None:
+            out = out * scale[..., None]
+        return out
+
+    def _secondary_indirect(self, surf, matg, frame, wo, key, ray_lobe, rr,
+                            indirect_scaled):
+        """Indirect + BSDF-direct at a secondary hit, honoring the GI depth
+        gates (GI_diffuse/glossy_depth via continuation families,
+        GI_total_depth as the overall cap; rlGgx.cpp:151-154 semantics).
+        Lobes whose depth is exhausted keep the 1-sample direct pickup."""
+        opts = self.scene.options
+        rd, rg, rrf, rt = rr
+        out = jnp.zeros_like(surf.p)
+        fallback = []
+        # glossy continuation never spawns from diffuse rays (the standard
+        # shader's enable_glossy_caustics off, test_geo.ass)
+        if (ray_lobe != "diffuse" and rg < opts.gi_glossy_depth
+                and rt < opts.gi_total_depth):
+            out = out + self._lobe_family(
+                surf, matg, frame, wo, rng.fold(key, 62), "specular", 1,
+                (rd, rg + 1, rrf, rt + 1), indirect_scaled,
+            )
+        else:
+            fallback.append("specular")
+        if rd < opts.gi_diffuse_depth and rt < opts.gi_total_depth:
+            out = out + self._lobe_family(
+                surf, matg, frame, wo, rng.fold(key, 61), "diffuse", 1,
+                (rd + 1, rg, rrf, rt + 1), indirect_scaled,
+            )
+        else:
+            fallback.append("diffuse")
+        if fallback and (sum(self.static.quad_valid)
+                         or sum(self.static.disk_valid)):
+            self._count_gen(surf.p.shape[0] * len(fallback))
+            out = out + self._run(
+                "spec_direct", _j_spec_direct,
+                self.sc, self.static, surf, matg, frame, wo, key,
+                lobes=tuple(fallback),
+            )
+        return out
 
     def render_tile(self, rays: cameramod.CameraRays, key):
         scene = self.scene
@@ -665,39 +920,26 @@ class TileRenderer:
 
         (surf0, matg0, frame0, wo0), rgb, aov_dd, aov_ds = self.shade_generation(
             rays.origin, rays.direction, rng.fold(key, 0), VIS_CAMERA,
-            camera_level=True, indirect_scaled=False,
-            refr_left=0, is_refraction=False,
+            camera_level=True, indirect_scaled=False, is_refraction=False,
+            # depth gates handled by the explicit camera-level families below
+            rr=(99, 99, 99, 99), ray_lobe="camera",
         )
         # camera sees the skydome directly
-        if scene.sky.exists:
+        if self.static.sky_exists:
             rgb = rgb + jnp.where(
-                (~surf0.valid)[..., None], scene.sky.radiance, 0.0
+                (~surf0.valid)[..., None], self.sc.sky_radiance, 0.0
             )
         aovs = {"direct_diffuse": aov_dd, "direct_specular": aov_ds}
-
-        def indirect_family(lobe, nb, vis, lkey, scale):
-            o1, d1, w1, pdf1, ok1 = self._j_spawn(
-                surf0, matg0, frame0, wo0, lkey, lobe=lobe, nb=nb
-            )
-            t1, tri1, u1, v1 = self._trace(o1, d1, vis)
-            nf0_rep = jnp.repeat(surf0.nf, nb, axis=0)
-            pick = self._j_pickup(
-                o1, d1, t1, tri1, pdf1.reshape(-1), nf0_rep, nb=nb, lobe=lobe
-            )
-            _, sub_rgb, _, _ = self.shade_generation_from_trace(
-                t1, tri1, u1, v1, o1, d1, rng.fold(lkey, 7),
-                indirect_scaled=True,
-                refr_left=opts.gi_refraction_depth - 1,
-            )
-            sub = pick + sub_rgb
-            return (w1 * sub.reshape(n0, nb, 3)).mean(axis=1) * scale[..., None]
 
         if self.nb_d:
             scale = jnp.where(
                 matg0.mtype == MAT_DISNEY, matg0.indirect_diffuse_scale, 1.0
             )
-            c = indirect_family("diffuse", self.nb_d, VIS_DIFFUSE,
-                                rng.fold(key, 1), scale)
+            c = self._lobe_family(
+                surf0, matg0, frame0, wo0, rng.fold(key, 1), "diffuse",
+                self.nb_d, (1, 0, 0, 1), indirect_scaled=True,
+                cam_pickup=True, scale=scale,
+            )
             aovs["indirect_diffuse"] = c
             rgb = rgb + c
         else:
@@ -707,21 +949,33 @@ class TileRenderer:
             scale = jnp.where(
                 matg0.mtype == MAT_DISNEY, matg0.indirect_specular_scale, 1.0
             )
-            c = indirect_family("specular", self.nb_g, VIS_GLOSSY,
-                                rng.fold(key, 2), scale)
+            c = self._lobe_family(
+                surf0, matg0, frame0, wo0, rng.fold(key, 2), "specular",
+                self.nb_g, (0, 1, 0, 1), indirect_scaled=True,
+                cam_pickup=True, scale=scale,
+            )
             aovs["indirect_specular"] = c
             rgb = rgb + c
         else:
             aovs["indirect_specular"] = jnp.zeros((n0, 3))
 
         if self.nb_r:
-            o1, d1, wgt, ok = self._j_refr_spawn(
-                surf0, matg0, frame0, wo0, rng.fold(key, 3), self.nb_r
+            self._count_gen(n0 * self.nb_r)
+            o1, d1, wgt, ok, tp1 = self._run(
+                "refr", _j_refr_family,
+                self.sc, self.static, surf0, matg0, frame0, wo0,
+                rng.fold(key, 3), nb=self.nb_r,
             )
             _, sub_rgb, _, _ = self.shade_generation(
                 o1, d1, rng.fold(key, 13), VIS_REFRACTED,
                 camera_level=False, indirect_scaled=False,
-                refr_left=opts.gi_refraction_depth - 1, is_refraction=True,
+                is_refraction=True, rr=(0, 0, 1, 1), ray_lobe="refracted",
+                base_fp=jnp.repeat(surf0.fp, self.nb_r, axis=0),
+                spread=jnp.repeat(
+                    jnp.maximum(matg0.ggx.alpha_g, self.pix_spread),
+                    self.nb_r, axis=0,
+                ),
+                trace_pack=tp1,
             )
             c = (
                 jnp.where(ok[..., None], wgt, 0.0)
@@ -735,7 +989,9 @@ class TileRenderer:
         if self.static.has_skin and opts.gi_sss_samples > 0:
             from . import sss as sssmod
 
-            c = sssmod.sss_stage(self, surf0, matg0, rng.fold(key, 4))
+            c = self._run(
+                "sss", sssmod.sss_stage, self, surf0, matg0, rng.fold(key, 4)
+            )
             aovs["sss"] = c
             rgb = rgb + c
         else:
@@ -743,31 +999,17 @@ class TileRenderer:
 
         return rgb, aovs
 
+    # backwards-compatible alias used by older integration points
     def shade_generation_from_trace(self, t, tri, uu, vv, o, d, key,
-                                    indirect_scaled, refr_left):
-        """Like shade_generation but reuses an existing trace result."""
-        surf, matg, frame, wo, grid, sh = self._j_prepare(
-            t, tri, uu, vv, o, d, key, camera_level=False
+                                    indirect_scaled, rr=(0, 0, 0, 1),
+                                    ray_lobe="glossy",
+                                    base_fp=None, spread=None):
+        return self.shade_generation(
+            o, d, key, VIS_GLOSSY, camera_level=False,
+            indirect_scaled=indirect_scaled, is_refraction=False,
+            rr=rr, ray_lobe=ray_lobe, base_fp=base_fp, spread=spread,
+            trace_pack=(t, tri, uu, vv),
         )
-        shadowed = self._shadow(sh)
-        rgb, aov_d, aov_s = self._j_reduce_direct(
-            surf, matg, frame, wo, grid, shadowed,
-            camera_level=False, indirect_scaled=indirect_scaled,
-        )
-        rgb = rgb + self._spec_direct_secondary(surf, matg, frame, wo, key)
-        if refr_left > 0 and self.static.has_refract:
-            o2, d2, wgt, ok = self._j_refr_spawn(
-                surf, matg, frame, wo, rng.fold(key, 900), 1
-            )
-            _, sub_rgb, _, _ = self.shade_generation(
-                o2, d2, rng.fold(key, 33), VIS_REFRACTED,
-                camera_level=False, indirect_scaled=indirect_scaled,
-                refr_left=refr_left - 1, is_refraction=True,
-            )
-            n = surf.p.shape[0]
-            add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
-            rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
-        return (surf, matg, frame, wo), rgb, aov_d, aov_s
 
 
 def render_progressive(

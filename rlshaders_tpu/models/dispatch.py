@@ -30,7 +30,12 @@ from ..scene.build import (
     MAT_STANDARD,
     Materials,
 )
-from ..scene.texture import TextureStack, sample_bilinear
+from ..scene.texture import (
+    TextureStack,
+    compute_lod,
+    sample_bilinear,
+    sample_smart_bicubic,
+)
 
 
 class MatG(NamedTuple):
@@ -60,6 +65,14 @@ class MatG(NamedTuple):
     has_refract: jnp.ndarray
 
 
+def _proj_uv_scale(proj_inv: jnp.ndarray) -> jnp.ndarray:
+    """UV-per-world scale of a planar projection: local = p @ P; uv =
+    (local+1)/2, so duv/dp = |P column| / 2 (mean of the two uv axes)."""
+    c0 = jnp.linalg.norm(proj_inv[..., :3, 0], axis=-1)
+    c1 = jnp.linalg.norm(proj_inv[..., :3, 1], axis=-1)
+    return 0.25 * (c0 + c1)
+
+
 def gather(
     mats: Materials,
     tex: TextureStack,
@@ -67,16 +80,21 @@ def gather(
     uv: jnp.ndarray,
     entering: jnp.ndarray,
     p: jnp.ndarray | None = None,
+    fp: jnp.ndarray | None = None,
+    fp_uv: jnp.ndarray | None = None,
 ) -> MatG:
     """Gather material rows for a hit batch and precompute lobe parameters.
 
     `p` (world hit position) feeds planar texture projections (MayaProjection
-    planar: uv from the placement-matrix local frame).
+    planar: uv from the placement-matrix local frame). `fp` / `fp_uv` are the
+    ray-cone footprint (world / UV space) driving mip LOD selection — the
+    Arnold smart_bicubic minification path.
     """
     g = jax.tree_util.tree_map(lambda a: a[mat_id], mats)
     mtype = g.mtype
 
     in_coverage = jnp.ones(mat_id.shape, bool)
+    is_proj = jnp.zeros(mat_id.shape, bool)
     if p is not None:
         # planar projection: local = p @ inv(placement); uv = (local+1)/2;
         # outside the unit square the projection yields its defaultColor
@@ -90,20 +108,18 @@ def gather(
         in_coverage = ~is_proj | (
             (jnp.abs(local[..., 0]) <= 1.0) & (jnp.abs(local[..., 1]) <= 1.0)
         )
-    tex_raw = sample_bilinear(tex, g.kd_tex, uv)
-    # Direct file nodes: Maya color balance = tex*gain + offset (validated
-    # against the golden floor's grid contrast, which needs values > 1).
+    lod = None
+    if fp_uv is not None:
+        fpu = fp_uv
+        if p is not None and fp is not None:
+            fpu = jnp.where(is_proj, fp * _proj_uv_scale(g.kd_proj_inv), fp_uv)
+        lod = compute_lod(tex, g.kd_tex, fpu)
+    tex_raw = sample_smart_bicubic(tex, g.kd_tex, uv, lod)
+    # Maya file-node color balance: tex*gain + offset, with the node's
+    # `invert` flag already folded into (gain, offset) by scene/build.py
+    # (invert on => gain' = -gain, offset' = gain + offset; e.g. the logo
+    # projection's file66 resolves to 2 - tex).
     tex_color = tex_raw * g.kd_tex_gain + g.kd_tex_offset
-    if p is not None:
-        # PROJECTED file nodes empirically resolve to gain + offset -
-        # gain*tex (for the scene's file66: 2 - tex): dividing the golden by
-        # our known-albedo illumination gives disc albedo 0.685 on the white
-        # background and 1.274 inside the dark glyph — an inverted response
-        # that matches (gain+offset-gain*tex)*Kd to within bilinear edge
-        # dilution. Direct-file semantics contradict this on the floor, so
-        # the inversion is applied to projections only.
-        proj_col = g.kd_tex_gain + g.kd_tex_offset - g.kd_tex_gain * tex_raw
-        tex_color = jnp.where((g.kd_proj == 1)[..., None], proj_col, tex_color)
     tex_color = jnp.where(in_coverage[..., None], tex_color, g.kd_proj_default)
     tex_color = jnp.where((g.kd_tex >= 0)[..., None], tex_color, 1.0)
     base_color = g.kd_color * tex_color
@@ -141,7 +157,13 @@ def gather(
         k_cov = (g.ks_proj != 1) | (
             (jnp.abs(local_k[..., 0]) <= 1.0) & (jnp.abs(local_k[..., 1]) <= 1.0)
         )
-        k_rgb = sample_bilinear(tex, g.ks_tex, kuv)
+        k_lod = None
+        if fp is not None:
+            k_fpu = fp * _proj_uv_scale(g.ks_proj_inv)
+            if fp_uv is not None:
+                k_fpu = jnp.where(g.ks_proj == 1, k_fpu, fp_uv)
+            k_lod = compute_lod(tex, g.ks_tex, k_fpu)
+        k_rgb = sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod)
         k_alpha = jnp.clip(
             0.212671 * k_rgb[..., 0] + 0.71516 * k_rgb[..., 1]
             + 0.072169 * k_rgb[..., 2],

@@ -1,21 +1,35 @@
-"""Pallas TPU ray-triangle intersection: cluster-culled brute force.
+"""Pallas TPU ray-triangle intersection: ordered cluster-culled brute force.
 
 The TPU-native replacement for pointer-chasing BVH traversal (which is
 latency-bound on TPU — measured 0.01 Mrays/s): triangles are sorted into
 spatially-coherent clusters of TRI_BLOCK (using the SAH BVH's leaf order);
-each ray block slab-tests a cluster's AABB and — only when any ray in the
-block can hit it — runs a fully vectorized Moller-Trumbore over the
+each 128-ray block walks the clusters FRONT-TO-BACK along its direction
+octant, slab-tests each cluster's AABB and — only when some ray in the block
+can still hit it — runs a fully vectorized Moller-Trumbore over the
 (TRI_BLOCK, RAY_BLOCK) pair tile. This is the design SURVEY.md section 7
 calls the hardest TPU piece ("BVH traversal is divergent/pointer-chasing —
 needs a Pallas-friendly layout ... warp-free SIMT-on-vector-lanes").
 
+Traversal order & termination (the wavefront equivalent of ordered BVH
+traversal):
+* at pack time, the clusters are sorted along each of the 8 direction-octant
+  diagonals (host NumPy); the kernel picks the order of the block's dominant
+  octant and walks it with a `while_loop`;
+* the loop bound is per block: a dense XLA frustum pre-pass (interval slab
+  of every cluster vs the block's origin-box x direction-box) finds the last
+  cluster the bundle can touch in that order — sky/miss blocks run ZERO
+  iterations;
+* direction-pure blocks also EARLY-BREAK when the next cluster's minimum
+  diagonal projection lies beyond the slowest ray's current best hit
+  (projection along the unit octant diagonal is a lower bound on ray t).
+
 Mosaic-friendly layout rules used here:
 * everything is 2-D: triangles vary along SUBLANES (axis 0), rays along
   LANES (axis 1); per-ray state is (1, RAY_BLOCK), per-tri data (TB, 1).
-* all triangle data is VMEM-resident SoA; cluster AABBs live in SMEM and
-  are read as scalars inside the cluster loop.
-* the cluster loop is a fori_loop with a lax.cond cull — a skipped cluster
-  costs only the slab test.
+* all triangle data is VMEM-resident SoA; cluster AABBs + octant tables live
+  in SMEM; per-block meta rides an (8, 128) SMEM tile shared by 8 grid steps.
+* a skipped cluster costs one scalar load + a slab test; the pair tile only
+  runs behind a `lax.cond`.
 
 Falls back to interpreter mode off-TPU (tests run on CPU).
 """
@@ -33,10 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_BLOCK = 128
 TRI_BLOCK = 128
 BIG = 1e30
-# Mosaic's scoped-vmem accounting rejects very large grids when the kernel is
-# embedded in a fused jit; standalone dispatches (the staged integrator only
-# calls these between jits) handle 1M rays fine.
-MAX_RAYS_PER_CALL = 1048576
+INV_SQRT3 = 0.5773502691896258
+# Per-call ray cap: keeps Mosaic's compile-time scoped-vmem ACCOUNTING of the
+# blocked ray/output buffers under the (raised, see rlshaders_tpu/__init__)
+# limit when the kernel is embedded inside a fused jitted render stage.
+# Larger batches chunk into sequential pallas_calls inside the same program.
+MAX_RAYS_PER_CALL = 131072
+
+# octant sign patterns, index = (sx>0)<<2 | (sy>0)<<1 | (sz>0)
+_OCT_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+    np.float32,
+)
 
 
 def _interpret() -> bool:
@@ -52,6 +74,11 @@ class PackedScene(NamedTuple):
     orig: jnp.ndarray      # (C*TB, 1) int32 original triangle index (-1 pad)
     cl_min: jnp.ndarray    # (C, 3)
     cl_max: jnp.ndarray    # (C, 3)
+    oct_order: jnp.ndarray  # (8, Cp) int32 cluster ids, front-to-back/octant
+    oct_proj: jnp.ndarray   # (8, Cp) f32 min diagonal projection, ascending
+    oct_rank: jnp.ndarray   # (8, C) int32 rank of cluster c in octant order
+    scene_lo: jnp.ndarray   # (3,) scene AABB (for ray-sort Morton keys)
+    scene_hi: jnp.ndarray   # (3,)
 
     @property
     def n_clusters(self) -> int:
@@ -60,7 +87,8 @@ class PackedScene(NamedTuple):
 
 def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     """Pack triangles (host) into clusters following `order` (spatially
-    coherent, e.g. the SAH BVH leaf order)."""
+    coherent, e.g. the SAH BVH leaf order); precompute the 8 octant
+    traversal orders with their conservative diagonal projections."""
     v0 = np.asarray(v0, np.float32)[order]
     e1 = np.asarray(e1, np.float32)[order]
     e2 = np.asarray(e2, np.float32)[order]
@@ -82,6 +110,28 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     mask = np.arange(c * TRI_BLOCK).reshape(c, TRI_BLOCK) < t
     big = np.where(mask[..., None], tmin, BIG)
     small = np.where(mask[..., None], tmax, -BIG)
+    cl_min = big.min(axis=1)    # (C, 3)
+    cl_max = small.max(axis=1)
+
+    # 8 octant traversal orders: ascending minimum projection of each cluster
+    # AABB on the octant's unit diagonal (the corner matching the signs)
+    cp = ((c + 127) // 128) * 128
+    oct_order = np.zeros((8, cp), np.int32)
+    oct_proj = np.full((8, cp), BIG, np.float32)
+    oct_rank = np.zeros((8, c), np.int32)
+    fcl_min = np.where(np.isfinite(cl_min), cl_min, 0.0)
+    fcl_max = np.where(np.isfinite(cl_max), cl_max, 0.0)
+    degenerate = cl_min[:, 0] > cl_max[:, 0]  # all-padding cluster
+    for o in range(8):
+        s = _OCT_SIGNS[o]
+        corner = np.where(s[None, :] > 0, fcl_min, fcl_max)
+        proj = (corner * s[None, :]).sum(axis=1) * INV_SQRT3
+        proj = np.where(degenerate, BIG, proj)
+        perm = np.argsort(proj, kind="stable").astype(np.int32)
+        oct_order[o, :c] = perm
+        oct_proj[o, :c] = proj[perm]
+        oct_rank[o, perm] = np.arange(c, dtype=np.int32)
+
     return PackedScene(
         comp=jnp.asarray(comp),
         vis=jnp.asarray(np.pad(vis, (0, pad))[:, None]),
@@ -90,8 +140,19 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
             np.pad(np.asarray(order, np.int64), (0, pad), constant_values=-1)
             .astype(np.int32)[:, None]
         ),
-        cl_min=jnp.asarray(big.min(axis=1)),
-        cl_max=jnp.asarray(small.max(axis=1)),
+        cl_min=jnp.asarray(cl_min),
+        cl_max=jnp.asarray(cl_max),
+        oct_order=jnp.asarray(oct_order),
+        oct_proj=jnp.asarray(oct_proj),
+        oct_rank=jnp.asarray(oct_rank),
+        scene_lo=jnp.asarray(
+            np.where(degenerate[:, None], np.inf, fcl_min).min(axis=0)
+            .astype(np.float32)
+        ),
+        scene_hi=jnp.asarray(
+            np.where(degenerate[:, None], -np.inf, fcl_max).max(axis=0)
+            .astype(np.float32)
+        ),
     )
 
 
@@ -149,17 +210,83 @@ def _inv(d):
     return jnp.where(jnp.abs(d) > 1e-12, 1.0 / safe, BIG)
 
 
+def _block_meta(packed: "PackedScene", rays, n_clusters: int):
+    """Per-ray-block traversal metadata (dense XLA, no sorting):
+      meta[:, 0] = loop bound: 1 + the largest octant-order rank among the
+                   clusters the block's frustum can touch (0 for miss-all)
+      meta[:, 1] = dominant direction octant id
+      meta[:, 2] = 1.0 when every ray in the block shares that octant
+                   (enables the diagonal-projection early break)
+      meta[:, 3] = max diagonal projection of the ray origins.
+    Returned as (nb, 128) f32 so it rides an (8, 128) SMEM tile."""
+    nb = rays.shape[0]
+    o = rays[:, 0:3, :]   # (nb, 3, R)
+    d = rays[:, 3:6, :]
+    o_lo = o.min(axis=2)  # (nb, 3)
+    o_hi = o.max(axis=2)
+    d_lo = d.min(axis=2)
+    d_hi = d.max(axis=2)
+
+    cmin = packed.cl_min  # (C, 3)
+    cmax = packed.cl_max
+
+    tn = jnp.full((nb, n_clusters), -BIG)
+    tf = jnp.full((nb, n_clusters), BIG)
+    for a in range(3):
+        dl = d_lo[:, None, a]
+        dh = d_hi[:, None, a]
+        spans0 = (dl <= 0.0) & (dh >= 0.0)
+        tp_lo = (cmin[None, :, a] - o_hi[:, None, a]) / jnp.maximum(dh, 1e-12)
+        tp_hi = (cmax[None, :, a] - o_lo[:, None, a]) / jnp.maximum(dl, 1e-12)
+        tn_lo = (cmax[None, :, a] - o_lo[:, None, a]) / jnp.minimum(dl, -1e-12)
+        tn_hi = (cmin[None, :, a] - o_hi[:, None, a]) / jnp.minimum(dh, -1e-12)
+        neg = dh < 0.0
+        lo = jnp.where(neg, tn_lo, tp_lo)
+        hi = jnp.where(neg, tn_hi, tp_hi)
+        lo = jnp.where(spans0, -BIG, lo)
+        hi = jnp.where(spans0, BIG, hi)
+        tn = jnp.maximum(tn, lo)
+        tf = jnp.minimum(tf, hi)
+    survive = tf >= jnp.maximum(tn, 0.0)  # (nb, C)
+
+    # dominant octant from the direction sums; purity from the sign boxes
+    d_sum = d.sum(axis=2)  # (nb, 3)
+    bits = (d_sum > 0.0).astype(jnp.int32)
+    oct_id = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
+    pure = jnp.all((d_lo > 0.0) == (d_hi > 0.0), axis=1) & jnp.all(
+        (d_lo > 0.0) == (bits > 0), axis=1
+    )
+
+    ranks = packed.oct_rank[oct_id]  # (nb, C)
+    bound = 1 + jnp.max(jnp.where(survive, ranks, -1), axis=1)  # (nb,)
+
+    signs = jnp.asarray(_OCT_SIGNS)[oct_id]  # (nb, 3)
+    proj_o = jnp.maximum(
+        (o_lo * signs).sum(axis=1), (o_hi * signs).sum(axis=1)
+    ) * INV_SQRT3
+
+    meta = jnp.zeros((nb, 128), jnp.float32)
+    meta = meta.at[:, 0].set(bound.astype(jnp.float32))
+    meta = meta.at[:, 1].set(oct_id.astype(jnp.float32))
+    meta = meta.at[:, 2].set(pure.astype(jnp.float32))
+    meta = meta.at[:, 3].set(proj_o)
+    return meta
+
+
 def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
     clmin_ref,    # (C, 3) SMEM
     clmax_ref,    # (C, 3) SMEM
-    rays_ref,     # (7, RAY_BLOCK) VMEM
-    ex_ref,       # (1, RAY_BLOCK) VMEM int32
+    order_ref,    # (8, Cp) SMEM int32 octant traversal orders
+    proj_ref,     # (8, Cp) SMEM f32 ascending min diagonal projections
+    meta_ref,     # (8, 128) SMEM f32 per-block meta (row = program_id % 8)
+    rays_ref,     # (1, 7, RAY_BLOCK) VMEM
+    ex_ref,       # (1, 1, RAY_BLOCK) VMEM int32
     comp_ref,     # (C*TB, 9) VMEM
     vis_ref,      # (C*TB, 1) VMEM int32
     orig_ref,     # (C*TB, 1) VMEM int32
-    t_out,        # (1, RAY_BLOCK)
-    tri_out,      # (1, RAY_BLOCK) int32
+    t_out,        # (1, 1, RAY_BLOCK)
+    tri_out,      # (1, 1, RAY_BLOCK) int32
     u_out,
     v_out,
     *,
@@ -177,8 +304,26 @@ def _nearest_kernel(
     vism = vismask_ref[0, 0]
     ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
-    def cluster_step(ci, state):
-        t_best, tri_best, u_best, v_best = state
+    row = pl.program_id(0) % 8
+    bound = meta_ref[row, 0].astype(jnp.int32)
+    oct_id = meta_ref[row, 1].astype(jnp.int32)
+    pure = meta_ref[row, 2] > 0.5
+    proj_o = meta_ref[row, 3]
+
+    def cond(state):
+        li, t_best, tri_best, u_best, v_best, t_worst = state
+        # front-to-back: a pure-octant block stops at the first cluster whose
+        # min diagonal projection lies beyond the slowest ray's best hit
+        # (projection along the unit diagonal is a lower bound on ray t)
+        more = li < bound
+        not_past = jnp.logical_or(
+            jnp.logical_not(pure), proj_ref[oct_id, li] - proj_o < t_worst
+        )
+        return jnp.logical_and(more, not_past)
+
+    def cluster_step(state):
+        li, t_best, tri_best, u_best, v_best, t_worst = state
+        ci = order_ref[oct_id, li]
         tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
         box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
         any_hit = jnp.any(box_hit)
@@ -211,17 +356,23 @@ def _nearest_kernel(
                 jnp.where(better, v_new, v_best),
             )
 
-        return jax.lax.cond(any_hit, test, lambda s: s,
-                            (t_best, tri_best, u_best, v_best))
+        t_best, tri_best, u_best, v_best = jax.lax.cond(
+            any_hit, test, lambda s: s, (t_best, tri_best, u_best, v_best)
+        )
+        t_worst = jnp.max(t_best)
+        return li + 1, t_best, tri_best, u_best, v_best, t_worst
 
+    t0 = jnp.minimum(tmax, BIG)
     init = (
-        jnp.minimum(tmax, BIG),
+        jnp.int32(0),
+        t0,
         jnp.full((1, RAY_BLOCK), -1, jnp.int32),
         jnp.zeros((1, RAY_BLOCK), jnp.float32),
         jnp.zeros((1, RAY_BLOCK), jnp.float32),
+        jnp.max(t0),
     )
-    t_best, tri_best, u_best, v_best = jax.lax.fori_loop(
-        0, n_clusters, cluster_step, init
+    _, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
+        cond, cluster_step, init
     )
     t_out[0] = t_best
     tri_out[0] = tri_best
@@ -230,8 +381,9 @@ def _nearest_kernel(
 
 
 def _occluded_kernel(
-    vismask_ref, clmin_ref, clmax_ref, rays_ref, ex_ref, comp_ref, vis_ref,
-    orig_ref, opq_ref, blocked_out, *, n_clusters: int, t_eps: float,
+    vismask_ref, clmin_ref, clmax_ref, order_ref, proj_ref, meta_ref,
+    rays_ref, ex_ref, comp_ref, vis_ref, orig_ref, opq_ref, blocked_out, *,
+    n_clusters: int, t_eps: float,
 ):
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
@@ -244,7 +396,24 @@ def _occluded_kernel(
     vism = vismask_ref[0, 0]
     ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
-    def cluster_step(ci, blocked):
+    row = pl.program_id(0) % 8
+    bound = meta_ref[row, 0].astype(jnp.int32)
+    oct_id = meta_ref[row, 1].astype(jnp.int32)
+    pure = meta_ref[row, 2] > 0.5
+    proj_o = meta_ref[row, 3]
+    t_stop = jnp.max(tmax)
+
+    def cond(state):
+        li, blocked, all_blocked = state
+        more = jnp.logical_and(li < bound, jnp.logical_not(all_blocked))
+        not_past = jnp.logical_or(
+            jnp.logical_not(pure), proj_ref[oct_id, li] - proj_o < t_stop
+        )
+        return jnp.logical_and(more, not_past)
+
+    def cluster_step(state):
+        li, blocked, all_blocked = state
+        ci = order_ref[oct_id, li]
         tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
         box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax) & (blocked == 0)
         any_hit = jnp.any(box_hit)
@@ -263,17 +432,43 @@ def _occluded_kernel(
             )
             return blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
 
-        return jax.lax.cond(any_hit, test, lambda b: b, blocked)
+        blocked = jax.lax.cond(any_hit, test, lambda b: b, blocked)
+        # rays with no remaining segment count as done for the all-check
+        done = (blocked != 0) | (tmax <= t_eps)
+        return li + 1, blocked, jnp.all(done)
 
-    blocked = jax.lax.fori_loop(
-        0, n_clusters, cluster_step, jnp.zeros((1, RAY_BLOCK), jnp.int32)
-    )
+    init = (jnp.int32(0), jnp.zeros((1, RAY_BLOCK), jnp.int32),
+            jnp.asarray(False))
+    _, blocked, _ = jax.lax.while_loop(cond, cluster_step, init)
     blocked_out[0] = blocked
+
+
+def _ray_sort_key(packed: "PackedScene", o, d):
+    """Coherence key: direction octant (high bits) then a 12-bit Morton code
+    of the origin within the scene AABB — groups secondary/shadow rays into
+    direction-pure, spatially-tight 128-ray blocks so the kernel's octant
+    orders, frustum bounds and early breaks bite."""
+    bits = (d > 0.0).astype(jnp.int32)
+    octant = bits[:, 0] * 4 + bits[:, 1] * 2 + bits[:, 2]
+    ext = jnp.maximum(packed.scene_hi - packed.scene_lo, 1e-6)
+    q = jnp.clip((o - packed.scene_lo) / ext, 0.0, 1.0)
+    qi = (q * 15.999).astype(jnp.int32)  # 4 bits per axis
+    morton = jnp.zeros_like(octant)
+    for b in range(4):
+        morton = (
+            morton
+            | (((qi[:, 0] >> b) & 1) << (3 * b + 2))
+            | (((qi[:, 1] >> b) & 1) << (3 * b + 1))
+            | (((qi[:, 2] >> b) & 1) << (3 * b + 0))
+        )
+    return (octant << 12) | morton
 
 
 def _pad_rays(o, d, t_max, exclude):
     r = o.shape[0]
-    rp = ((r + RAY_BLOCK - 1) // RAY_BLOCK) * RAY_BLOCK
+    # pad to 8 ray-blocks so the per-block meta can ride SMEM in Mosaic-legal
+    # (8, 128) tiles
+    rp = ((r + 8 * RAY_BLOCK - 1) // (8 * RAY_BLOCK)) * (8 * RAY_BLOCK)
     pad = rp - r
     o = jnp.pad(o, ((0, pad), (0, 0)))
     d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
@@ -324,9 +519,13 @@ def intersect(
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
 def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
+    perm = jnp.argsort(_ray_sort_key(packed, o, d))
+    o, d = o[perm], d[perm]
+    t_max, exclude_tri = t_max[perm], exclude_tri[perm]
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
+    meta = _block_meta(packed, rays, c)
 
     kernel = partial(_nearest_kernel, n_clusters=c, t_eps=t_eps)
     t, tri, u, v = pl.pallas_call(
@@ -336,6 +535,9 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -359,13 +561,17 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
+        packed.oct_order,
+        packed.oct_proj,
+        meta,
         rays,
         ex,
         packed.comp,
         packed.vis,
         packed.orig,
     )
-    flat = lambda a: a.reshape(-1)[:r0]
+    inv = jnp.argsort(perm)
+    flat = lambda a: a.reshape(-1)[:r0][inv]
     return flat(t), flat(tri), flat(u), flat(v)
 
 
@@ -395,9 +601,13 @@ def occluded(
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
 def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
+    perm = jnp.argsort(_ray_sort_key(packed, o, d))
+    o, d = o[perm], d[perm]
+    t_max, exclude_tri = t_max[perm], exclude_tri[perm]
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
+    meta = _block_meta(packed, rays, c)
 
     kernel = partial(_occluded_kernel, n_clusters=c, t_eps=t_eps)
     (blocked,) = pl.pallas_call(
@@ -407,6 +617,9 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -423,6 +636,9 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
+        packed.oct_order,
+        packed.oct_proj,
+        meta,
         rays,
         ex,
         packed.comp,
@@ -430,4 +646,4 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         packed.orig,
         packed.opaque,
     )
-    return blocked.reshape(-1)[:r0] != 0
+    return blocked.reshape(-1)[:r0][jnp.argsort(perm)] != 0

@@ -112,7 +112,10 @@ def render_sharded(
 
     names_box: list = []
 
-    def body(key, origin, direction, pixel, weight, sub_xy):
+    def body(sc, key, origin, direction, pixel, weight, sub_xy):
+        # the device scene arrives as a replicated shard_map operand (not a
+        # captured constant) so the same buffers serve every device
+        tr.sc = sc
         di = jax.lax.axis_index("dp")
         img = None
         ws = None
@@ -133,14 +136,19 @@ def render_sharded(
         return img, ws
 
     in_dp = P("dp") if "sp" not in mesh.shape else P("dp")
+    sc_spec = jax.tree_util.tree_map(lambda _: P(), tr.sc)
     shard = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), in_dp, in_dp, in_dp, in_dp, in_dp),
+        in_specs=(sc_spec, P(), in_dp, in_dp, in_dp, in_dp, in_dp),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    image, wsum = shard(key, origin, direction, pixel, weight, sub_xy)
+    sc0 = tr.sc
+    try:
+        image, wsum = shard(sc0, key, origin, direction, pixel, weight, sub_xy)
+    finally:
+        tr.sc = sc0
     norm = jnp.maximum(wsum, 1e-12)[:, None]
     planes = splatmod.unpack_aovs(image / norm, names_box)
     out = {

@@ -267,6 +267,17 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         aa_seed=int(opts_node.get("AA_seed", 0)),
     )
 
+    # Pixel filter: the options `outputs` line names the filter node
+    # ("AOV type filter driver", test_geo.ass:12); read its width instead of
+    # assuming the default (reference harness scenes use gaussian_filter
+    # width 2, but any width must be honored).
+    outputs = opts_node.get("outputs", "")
+    for tok in (outputs.split() if isinstance(outputs, str) else []):
+        fnode = by_name.get(tok)
+        if fnode is not None and fnode.type.endswith("_filter"):
+            opts.filter_width = float(fnode.get("width", 2.0))
+            break
+
     # ---------------- camera ----------------
     cam_name = opts_node.get("camera")
     cam_node = by_name.get(cam_name) or next(
@@ -342,13 +353,20 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         if node.type != "MayaFile":
             return dict(_no_tex)
         tex_id = _load_texture_slot(node.get("filename", ""))
-        # Maya file node: color = tex * colorGain + colorOffset. The testsuite
+        # Maya file node color balance: color = inv(tex) * colorGain +
+        # colorOffset where inv(tex) = 1 - tex when `invert` is on (Maya
+        # applies invert BEFORE gain/offset). The invert folds into the
+        # affine pair: gain' = -gain, offset' = gain + offset. The testsuite
         # renders were produced with texture_gamma decoding the FILE only;
         # gain/offset apply in linear space.
+        gain = _gamma_rgb(node.get("colorGain", 1.0), 1.0)
+        offset = _gamma_rgb(node.get("colorOffset", 0.0), 1.0)
+        if bool(node.get("invert", False)):
+            gain, offset = -gain, gain + offset
         return {
             "tex_id": tex_id,
-            "gain": _gamma_rgb(node.get("colorGain", 1.0), 1.0),
-            "offset": _gamma_rgb(node.get("colorOffset", 0.0), 1.0),
+            "gain": gain,
+            "offset": offset,
             "proj": 0,
             "proj_inv": np.eye(4, dtype=np.float32),
             "proj_default": np.full(3, 0.5, np.float32),
@@ -508,7 +526,13 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 kd_tex_offset=kd_t["offset"], kd_proj=kd_t["proj"],
                 kd_proj_inv=kd_t["proj_inv"], kd_proj_default=kd_t["proj_default"],
                 kd=fnum(node.get("Kd", 0.7)),
-                diffuse_roughness=fnum(node.get("diffuse_roughness", 0.0)),
+                # Arnold's standard shader maps diffuse_roughness onto a
+                # stronger effective Oren-Nayar sigma than the raw [0,1]
+                # parameter (calibrated against the golden floor's
+                # near-vs-grazing brightness profile; RLS_STD_ON_SCALE
+                # overrides for calibration runs)
+                diffuse_roughness=fnum(node.get("diffuse_roughness", 0.0))
+                * float(os.environ.get("RLS_STD_ON_SCALE", "1.0")),
                 ks_color=color_or_tex(node.get("Ks_color", 1.0), g)[0],
                 ks=ks_val,
                 ks_tex=ks_t["tex_id"], ks_proj=ks_t["proj"],
@@ -520,6 +544,15 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 ior=1.0,
                 emission=emis,
                 opacity=_gamma_rgb(node.get("opacity", 1.0), 1.0),
+                # Arnold standard SSS lobe: Ksss * Ksss_color * BSSRDF with
+                # per-channel sss_radius; rides the same diffusion-profile
+                # probe stage as rlSkin (integrator/sss.py)
+                sss_weight=fnum(node.get("Ksss", 0.0)),
+                sss_color=_gamma_rgb(node.get("Ksss_color", 1.0), g),
+                sss_dist=np.asarray(
+                    node.get("sss_radius", [0.1, 0.1, 0.1]), np.float32
+                ).reshape(3),
+                cavity_fadeout=False,
             )
         if bump_node is not None:
             bmap = bump_node.get("bump_map")

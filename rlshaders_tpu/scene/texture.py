@@ -1,11 +1,17 @@
-"""Texture loading and bilinear sampling.
+"""Texture loading and filtered sampling (mipmapped smart-bicubic).
 
 Host-side decode (PIL) of the JPEG textures the testsuite uses
 (grey_grid.jpg, SA_logo.jpg — reference testsuite/data/), with Arnold's
-`texture_gamma` decode applied at load time (test_geo.ass:22). On-device
-lookup is a batched bilinear gather over a zero-padded texture stack;
-each texture keeps its NATIVE resolution (resampling would shift texels
-against the goldens).
+`texture_gamma` decode applied at load time (test_geo.ass:22).
+
+On-device lookup is the TPU equivalent of Arnold's `smart_bicubic` MayaFile
+filter (test_geo.ass:566): a full mip pyramid built at load (2x box
+reduction), per-sample LOD from the ray footprint, Mitchell bicubic taps on
+the finer mip level blended trilinearly with a bilinear tap on the coarser
+one. Level 0 keeps each texture's NATIVE resolution (resampling would shift
+texels against the goldens). All levels of all textures live in one flat
+(TOTAL, 3) array indexed through per-(texture, level) offset/size tables,
+so lookups are plain XLA gathers with no per-texture control flow.
 """
 from __future__ import annotations
 
@@ -13,6 +19,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
+
+MAX_LEVELS = 12
 
 
 def load_image(path: str, gamma: float = 2.2) -> np.ndarray:
@@ -26,35 +34,74 @@ def load_image(path: str, gamma: float = 2.2) -> np.ndarray:
     return arr
 
 
-class TextureStack(NamedTuple):
-    """All scene textures zero-padded onto one (N, H, W, 3) stack with their
-    native sizes kept in (N, 2)."""
+def _downsample2(im: np.ndarray) -> np.ndarray:
+    """2x box reduction with odd-size handling (duplicate last row/col)."""
+    h, w = im.shape[:2]
+    if h % 2:
+        im = np.concatenate([im, im[-1:]], axis=0)
+        h += 1
+    if w % 2:
+        im = np.concatenate([im, im[:, -1:]], axis=1)
+        w += 1
+    return 0.25 * (
+        im[0::2, 0::2] + im[1::2, 0::2] + im[0::2, 1::2] + im[1::2, 1::2]
+    )
 
-    data: jnp.ndarray   # (N, maxH, maxW, 3) float32
-    sizes: jnp.ndarray  # (N, 2) int32 native (h, w)
+
+class TextureStack(NamedTuple):
+    """All mip levels of all textures packed into one flat texel array."""
+
+    data: jnp.ndarray     # (TOTAL, 3) float32 texels, row-major per level
+    offset: jnp.ndarray   # (N, L) int32 start of (tex, level) in data
+    sizes: jnp.ndarray    # (N, L, 2) int32 (h, w) per level (clamped pyramid)
+    n_levels: jnp.ndarray  # (N,) int32 number of real levels per texture
 
     @staticmethod
     def build(images: list[np.ndarray]) -> "TextureStack":
         if not images:
             return TextureStack(
-                data=jnp.zeros((1, 1, 1, 3), jnp.float32),
-                sizes=jnp.ones((1, 2), jnp.int32),
+                data=jnp.zeros((1, 3), jnp.float32),
+                offset=jnp.zeros((1, MAX_LEVELS), jnp.int32),
+                sizes=jnp.ones((1, MAX_LEVELS, 2), jnp.int32),
+                n_levels=jnp.ones((1,), jnp.int32),
             )
-        max_h = max(im.shape[0] for im in images)
-        max_w = max(im.shape[1] for im in images)
-        stack = np.zeros((len(images), max_h, max_w, 3), np.float32)
-        sizes = np.zeros((len(images), 2), np.int32)
+        flat: list[np.ndarray] = []
+        offs = np.zeros((len(images), MAX_LEVELS), np.int64)
+        sizes = np.ones((len(images), MAX_LEVELS, 2), np.int64)
+        n_levels = np.zeros((len(images),), np.int64)
+        cursor = 0
         for i, im in enumerate(images):
-            h, w = im.shape[:2]
-            stack[i, :h, :w] = im
-            sizes[i] = (h, w)
-        return TextureStack(data=jnp.asarray(stack), sizes=jnp.asarray(sizes))
+            lv = im.astype(np.float32)
+            lvl = 0
+            while True:
+                h, w = lv.shape[:2]
+                offs[i, lvl] = cursor
+                sizes[i, lvl] = (h, w)
+                flat.append(lv.reshape(-1, 3))
+                cursor += h * w
+                lvl += 1
+                if (h == 1 and w == 1) or lvl >= MAX_LEVELS:
+                    break
+                lv = _downsample2(lv)
+            n_levels[i] = lvl
+            # clamp the tail of the tables to the last real level so an
+            # over-large LOD indexes valid data
+            for l2 in range(lvl, MAX_LEVELS):
+                offs[i, l2] = offs[i, lvl - 1]
+                sizes[i, l2] = sizes[i, lvl - 1]
+        return TextureStack(
+            data=jnp.asarray(np.concatenate(flat, axis=0)),
+            offset=jnp.asarray(offs, jnp.int32),
+            sizes=jnp.asarray(sizes, jnp.int32),
+            n_levels=jnp.asarray(n_levels, jnp.int32),
+        )
 
 
 def _cubic_weights(t):
     """Mitchell-Netravali (B=C=1/3) cubic kernel weights for the 4 taps
     around a sample at fractional position t in [0,1)."""
     b = c = 1.0 / 3.0
+
     def k(x):
         ax = jnp.abs(x)
         ax2 = ax * ax
@@ -64,61 +111,115 @@ def _cubic_weights(t):
         w2 = ((-b - 6 * c) * ax3 + (6 * b + 30 * c) * ax2
               + (-12 * b - 48 * c) * ax + (8 * b + 24 * c)) / 6.0
         return jnp.where(ax < 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
     return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
 
 
-def sample_bicubic(stack: TextureStack, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Batched Mitchell bicubic lookup (Arnold's smart_bicubic analogue)."""
-    tid = jnp.maximum(tex_id, 0)
-    h = stack.sizes[tid, 0].astype(jnp.float32)
-    w = stack.sizes[tid, 1].astype(jnp.float32)
+def _fetch(stack: TextureStack, tid, lvl, y, x):
+    """Gather texels at integer (y, x) on `lvl` with wrap addressing."""
+    h = stack.sizes[tid, lvl, 0]
+    w = stack.sizes[tid, lvl, 1]
+    yy = jnp.mod(y, h)
+    xx = jnp.mod(x, w)
+    return stack.data[stack.offset[tid, lvl] + yy * w + xx]
+
+
+def _level_uv(stack: TextureStack, tid, lvl, uv):
+    """Continuous texel coords on a level; returns (x0f, y0f, fx, fy, h, w)."""
+    h = stack.sizes[tid, lvl, 0].astype(jnp.float32)
+    w = stack.sizes[tid, lvl, 1].astype(jnp.float32)
     u = jnp.mod(uv[..., 0], 1.0) * w - 0.5
     v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * h - 0.5
     x0f = jnp.floor(u)
     y0f = jnp.floor(v)
-    fx = u - x0f
-    fy = v - y0f
-    hi = stack.sizes[tid, 0]
-    wi = stack.sizes[tid, 1]
+    return x0f, y0f, u - x0f, v - y0f
+
+
+def _bicubic_level(stack: TextureStack, tid, lvl, uv):
+    """Mitchell bicubic on one mip level (16 taps)."""
+    x0f, y0f, fx, fy = _level_uv(stack, tid, lvl, uv)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
     wxs = _cubic_weights(fx)
     wys = _cubic_weights(fy)
     out = 0.0
     for dy in range(4):
-        yy = jnp.mod(y0f.astype(jnp.int32) + (dy - 1), hi)
         row = 0.0
         for dx in range(4):
-            xx = jnp.mod(x0f.astype(jnp.int32) + (dx - 1), wi)
-            row = row + wxs[dx][..., None] * stack.data[tid, yy, xx]
+            row = row + wxs[dx][..., None] * _fetch(
+                stack, tid, lvl, y0 + (dy - 1), x0 + (dx - 1)
+            )
         out = out + wys[dy][..., None] * row
+    return out
+
+
+def _bilinear_level(stack: TextureStack, tid, lvl, uv):
+    """Bilinear on one mip level (4 taps)."""
+    x0f, y0f, fx, fy = _level_uv(stack, tid, lvl, uv)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    c00 = _fetch(stack, tid, lvl, y0, x0)
+    c01 = _fetch(stack, tid, lvl, y0, x0 + 1)
+    c10 = _fetch(stack, tid, lvl, y0 + 1, x0)
+    c11 = _fetch(stack, tid, lvl, y0 + 1, x0 + 1)
+    return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+
+def compute_lod(stack: TextureStack, tex_id: jnp.ndarray,
+                fp_uv: jnp.ndarray) -> jnp.ndarray:
+    """Continuous mip level from a UV-space footprint (texels covered =
+    fp_uv * native size; lod = log2 of that)."""
+    tid = jnp.maximum(tex_id, 0)
+    w = stack.sizes[tid, 0, 1].astype(jnp.float32)
+    h = stack.sizes[tid, 0, 0].astype(jnp.float32)
+    texels = fp_uv * jnp.maximum(h, w)
+    lod = jnp.log2(jnp.maximum(texels, 1e-12))
+    top = (stack.n_levels[tid] - 1).astype(jnp.float32)
+    return jnp.clip(lod, 0.0, top)
+
+
+def sample_smart_bicubic(stack: TextureStack, tex_id: jnp.ndarray,
+                         uv: jnp.ndarray,
+                         lod: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Arnold smart_bicubic analogue: Mitchell bicubic on the finer mip
+    level, trilinear blend to a bilinear tap on the coarser one. `lod` is a
+    continuous level (None = level 0, pure bicubic magnification).
+
+    tex_id: (...) int32 (negative = no texture, returns 1s); uv wraps,
+    v up (image row 0 = v=1)."""
+    tid = jnp.maximum(tex_id, 0)
+    if lod is None:
+        out = _bicubic_level(stack, tid, 0, uv)
+        return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, MAX_LEVELS - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    fine = _bicubic_level(stack, tid, l0, uv)
+    coarse = _bilinear_level(stack, tid, l1, uv)
+    out = fine * (1.0 - frac) + coarse * frac
     return jnp.where((tex_id >= 0)[..., None], out, 1.0)
 
 
-def sample_bilinear(stack: TextureStack, tex_id: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
-    """Batched bilinear lookup with wrap addressing at native resolution.
+def sample_bicubic(stack: TextureStack, tex_id: jnp.ndarray,
+                   uv: jnp.ndarray) -> jnp.ndarray:
+    """Level-0 Mitchell bicubic lookup (magnification path)."""
+    return sample_smart_bicubic(stack, tex_id, uv, None)
 
-    tex_id: (...) int32 (negative = no texture, returns 1s)
-    uv: (..., 2) with wrap; v goes up (image row 0 = v=1).
-    """
+
+def sample_bilinear(stack: TextureStack, tex_id: jnp.ndarray,
+                    uv: jnp.ndarray,
+                    lod: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Bilinear lookup with wrap addressing (optionally trilinear-mip)."""
     tid = jnp.maximum(tex_id, 0)
-    h = stack.sizes[tid, 0].astype(jnp.float32)
-    w = stack.sizes[tid, 1].astype(jnp.float32)
-    u = jnp.mod(uv[..., 0], 1.0) * w - 0.5
-    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * h - 0.5
-    x0f = jnp.floor(u)
-    y0f = jnp.floor(v)
-    fx = (u - x0f)[..., None]
-    fy = (v - y0f)[..., None]
-    hi = stack.sizes[tid, 0]
-    wi = stack.sizes[tid, 1]
-    x0 = jnp.mod(x0f.astype(jnp.int32), wi)
-    y0 = jnp.mod(y0f.astype(jnp.int32), hi)
-    x1 = jnp.mod(x0 + 1, wi)
-    y1 = jnp.mod(y0 + 1, hi)
-    c00 = stack.data[tid, y0, x0]
-    c01 = stack.data[tid, y0, x1]
-    c10 = stack.data[tid, y1, x0]
-    c11 = stack.data[tid, y1, x1]
-    top = c00 * (1 - fx) + c01 * fx
-    bot = c10 * (1 - fx) + c11 * fx
-    out = top * (1 - fy) + bot * fy
+    if lod is None:
+        out = _bilinear_level(stack, tid, 0, uv)
+        return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, MAX_LEVELS - 1)
+    frac = (lod - l0.astype(jnp.float32))[..., None]
+    fine = _bilinear_level(stack, tid, l0, uv)
+    coarse = _bilinear_level(stack, tid, l1, uv)
+    out = fine * (1.0 - frac) + coarse * frac
     return jnp.where((tex_id >= 0)[..., None], out, 1.0)
