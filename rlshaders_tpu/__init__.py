@@ -23,7 +23,7 @@ import os as _os
 _flags = _os.environ.get("LIBTPU_INIT_ARGS", "")
 if "xla_tpu_scoped_vmem_limit_kib" not in _flags:
     _os.environ["LIBTPU_INIT_ARGS"] = (
-        _flags + " --xla_tpu_scoped_vmem_limit_kib=98304"
+        _flags + " --xla_tpu_scoped_vmem_limit_kib=131072"
     ).strip()
 del _os, _flags
 

@@ -8,6 +8,7 @@ weights.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -33,9 +34,33 @@ def generate(
     xres: int | None = None,
     yres: int | None = None,
 ) -> CameraRays:
-    """All camera rays for the frame: aa_samples^2 stratified per pixel."""
-    xres = xres or cam.xres
-    yres = yres or cam.yres
+    """All camera rays for the frame: aa_samples^2 stratified per pixel.
+    One compiled program (eager per-op dispatch on the tunneled TPU costs
+    ~0.2s each; this used to be ~20 eager ops)."""
+    return _j_generate(
+        cam.c2w, key, aa_samples=aa_samples,
+        fov_deg=float(cam.fov_deg),
+        focus_distance=float(cam.focus_distance),
+        aperture_size=float(cam.aperture_size),
+        xres=int(xres or cam.xres), yres=int(yres or cam.yres),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "aa_samples", "fov_deg", "focus_distance", "aperture_size",
+        "xres", "yres",
+    ),
+)
+def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
+                aperture_size, xres, yres) -> CameraRays:
+    from types import SimpleNamespace
+
+    cam = SimpleNamespace(
+        c2w=c2w, fov_deg=fov_deg, focus_distance=focus_distance,
+        aperture_size=aperture_size,
+    )
     n_sub = aa_samples * aa_samples
     n = xres * yres * n_sub
 
@@ -56,8 +81,14 @@ def generate(
     # position instead of a weight
     w = jnp.ones_like(ox)
 
-    x = (ix[:, None] + ox) / xres * 2.0 - 1.0
-    y = 1.0 - (iy[:, None] + oy) / yres * 2.0
+    # RLS_CAM_SHIFT_{X,Y}: sub-pixel screen-window calibration knobs (pixels)
+    # for matching Arnold's raster convention against the goldens
+    import os as _os
+
+    shx = float(_os.environ.get("RLS_CAM_SHIFT_X", "0"))
+    shy = float(_os.environ.get("RLS_CAM_SHIFT_Y", "0"))
+    x = (ix[:, None] + ox + shx) / xres * 2.0 - 1.0
+    y = 1.0 - (iy[:, None] + oy + shy) / yres * 2.0
     aspect = yres / xres
 
     tanf = jnp.tan(jnp.deg2rad(cam.fov_deg) * 0.5)

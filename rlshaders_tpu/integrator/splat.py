@@ -17,8 +17,24 @@ import jax.numpy as jnp
 ALPHA = 2.0
 
 
+@partial(jax.jit, static_argnames=("xres", "yres", "filter_width",
+                                   "tile_rays"))
+def splat_accum(vals, pixel_full, sub_xy_full, start, image, wsum,
+                xres: int, yres: int, filter_width: float, tile_rays: int):
+    """Slice this tile's pixel/sub_xy out of the frame arrays, splat, and
+    accumulate into the running framebuffer — one dispatch per tile."""
+    pixel = jax.lax.dynamic_slice(pixel_full, (start,), (tile_rays,))
+    sub_xy = jax.lax.dynamic_slice(sub_xy_full, (start, 0), (tile_rays, 2))
+    img_t, ws_t = _splat(vals, pixel, sub_xy, xres, yres, filter_width)
+    return image + img_t, wsum + ws_t
+
+
 @partial(jax.jit, static_argnames=("xres", "yres", "filter_width"))
 def splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
+    return _splat(vals, pixel, sub_xy, xres, yres, filter_width)
+
+
+def _splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
     """Splat per-sample values into the framebuffer.
 
     vals: (N, C) sample payload (RGB + stacked AOV channels).

@@ -235,7 +235,12 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
     exclude = jnp.full((nf_total,), -1, jnp.int32)
     g = sc.geometry
 
-    for k_step in range(k_probe):
+    # lax.fori_loop over the probe chain: the step body (2 traces + the
+    # lighting occlusions) is compiled ONCE and iterated k_probe times —
+    # unrolling 12 steps put ~120 pallas calls into one program and made the
+    # (remote) compiler take minutes
+    def probe_step(k_step, carry):
+        origin, remaining, exclude, accum = carry
         hit = tracemod.nearest(
             sc.accel, g, origin + d_probe * RAY_EPS, d_probe,
             vis_mask=0xFF, exclude_tri=exclude,
@@ -331,20 +336,40 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
         origin = origin + d_probe * step[..., None]
         remaining = remaining - step
         exclude = jnp.where(seg_ok, hit.tri, -1)
+        return origin, remaining, exclude, accum
+
+    origin, remaining, exclude, accum = jax.lax.fori_loop(
+        0, k_probe, probe_step, (origin, remaining, exclude, accum)
+    )
 
     sss = accum.reshape(n0, s_total, 3).mean(axis=1)
     albedo = sss_color * sss_weight[..., None]
     return jnp.where(is_sss[..., None], sss * albedo, 0.0)
 
 
-def sss_stage(tr, surf0, matg0, key, n_sss=None, k_probe=K_PROBE):
-    """Compute the SSS radiance for hits on subsurface materials:
+def SSS_FIELDS(surf, matg, is_sss):
+    """Bundle the (surf, matg) fields the SSS program needs (used by the
+    traced secondary-ray path inside the tile program)."""
+    return (surf.p, surf.ns, surf.mesh_id, is_sss, matg.sss_dist,
+            matg.sss_color, matg.sss_weight, matg.cavity_fadeout)
+
+
+def sss_eval(sc, static, fields, key, n_sss, gi_diffuse, k_probe=K_PROBE):
+    """Direct (traced-context) SSS evaluation on pre-bundled fields."""
+    p, ns_, mesh, mask, dist, color, weight, cav = fields
+    s = max(int(np.sqrt(n_sss)) ** 2, 1)
+    return _j_sss(sc, static, p, ns_, mesh, mask, dist, color, weight, cav,
+                  key, n_sss=s, gi_diffuse=int(gi_diffuse), k_probe=k_probe)
+
+
+def sss_stage(tr, sss_in, key, n_sss=None, k_probe=K_PROBE):
+    """Compute the SSS radiance for camera hits on subsurface materials:
     rlSkin (rlSss.h:170-277) and the Arnold `standard` shader's Ksss lobe
     (sss_weight = Ksss, sss_dist = sss_radius; e.g. the test scene's logo
     disc, test_geo.ass SA_logo Ksss 0.2 sss_radius 1).
 
-    Returns (N, 3); zero for non-SSS hits. `tr` is the TileRenderer (for
-    the device scene, statics and options).
+    Returns (N, 3); zero for non-SSS hits. `tr` is the TileRenderer (device
+    scene, statics, options); `sss_in` a wavefront.SSSIn bundle.
 
     The probe batch is COMPACTED to the SSS-material lanes first (bucketed
     to power-of-two sizes to bound compile variants): scenes where SSS
@@ -354,8 +379,8 @@ def sss_stage(tr, surf0, matg0, key, n_sss=None, k_probe=K_PROBE):
     opts = tr.scene.options
     n = int(n_sss or opts.gi_sss_samples ** 2)
     s = max(int(np.sqrt(n)) ** 2, 1)  # stratified grid needs a square count
-    is_sss = (matg0.sss_weight > 1e-5) & surf0.valid
-    n0 = surf0.p.shape[0]
+    is_sss = (sss_in.sss_weight > 1e-5) & sss_in.valid
+    n0 = sss_in.p.shape[0]
 
     def run(p, ns_, mesh, mask, dist, color, weight, cav, nlanes):
         tr.stats["nearest_rays"] += nlanes * s * k_probe
@@ -365,25 +390,25 @@ def sss_stage(tr, surf0, matg0, key, n_sss=None, k_probe=K_PROBE):
             k_probe=k_probe,
         )
 
+    full = (sss_in.p, sss_in.ns, sss_in.mesh_id, is_sss, sss_in.sss_dist,
+            sss_in.sss_color, sss_in.sss_weight, sss_in.cavity_fadeout)
     if isinstance(is_sss, jax.core.Tracer):
-        return run(surf0.p, surf0.ns, surf0.mesh_id, is_sss,
-                   matg0.sss_dist, matg0.sss_color, matg0.sss_weight,
-                   matg0.cavity_fadeout, n0)
+        return run(*full, n0)
 
     cnt = int(jnp.sum(is_sss))
     if cnt == 0:
         return jnp.zeros((n0, 3), jnp.float32)
-    bucket = 1024
+    # floor at 4096 so tiles with slightly different SSS coverage share one
+    # compiled bucket size
+    bucket = 4096
     while bucket < cnt:
         bucket *= 2
     if bucket >= n0:
-        return run(surf0.p, surf0.ns, surf0.mesh_id, is_sss,
-                   matg0.sss_dist, matg0.sss_color, matg0.sss_weight,
-                   matg0.cavity_fadeout, n0)
+        return run(*full, n0)
     idx = jnp.argsort(~is_sss)[:bucket]  # SSS lanes first
     out = run(
-        surf0.p[idx], surf0.ns[idx], surf0.mesh_id[idx], is_sss[idx],
-        matg0.sss_dist[idx], matg0.sss_color[idx], matg0.sss_weight[idx],
-        matg0.cavity_fadeout[idx], bucket,
+        sss_in.p[idx], sss_in.ns[idx], sss_in.mesh_id[idx], is_sss[idx],
+        sss_in.sss_dist[idx], sss_in.sss_color[idx], sss_in.sss_weight[idx],
+        sss_in.cavity_fadeout[idx], bucket,
     )
     return jnp.zeros((n0, 3), jnp.float32).at[idx].set(out)

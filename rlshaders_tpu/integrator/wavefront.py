@@ -460,71 +460,6 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
 # shared across tiles, renders, TileRenderer instances and same-shape scenes)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=(
-    "static", "vis", "camera_level", "indirect_scaled", "with_trace"))
-def _j_gen_shade(sc, static, t, tri, uu, vv, o, d, key, base_fp, spread, *,
-                 vis, camera_level, indirect_scaled, with_trace):
-    """One fused program per generation: [trace] + prepare + shadow + direct
-    reduce. Returns (surf, matg, frame, wo, rgb, aov_d, aov_s, trace_pack)."""
-    if with_trace:
-        hit = tracemod.nearest(sc.accel, sc.geometry, o, d, vis_mask=vis)
-        t, tri, uu, vv = hit.t, hit.tri, hit.u, hit.v
-
-    surf = _surface(sc, t, tri, uu, vv, o, d, base_fp, spread)
-    if static.has_bump:
-        ns_b = dispatch.apply_bump(
-            sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
-        )
-        sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
-        surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
-    matg = dispatch.gather(
-        sc.materials, sc.textures, surf.mat_id, surf.uv,
-        surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
-    )
-    frame = build_frame_polar(surf.nf)
-    wo = to_local(frame, -d)
-    grid = _light_grid(sc, static, surf, key, camera_level)
-    n, k = grid.pdf.shape
-    sh_o = jnp.broadcast_to(surf.p[:, None, :], (n, k, 3)).reshape(-1, 3)
-    sh_d = grid.wi.reshape(-1, 3)
-    sh_t = grid.dist.reshape(-1)
-    sh_ex = jnp.broadcast_to(surf.tri[:, None], (n, k)).reshape(-1)
-    shadowed = _shadow_transmission(
-        sc, static, (sh_o + sh_d * RAY_EPS, sh_d, sh_t - 2 * RAY_EPS, sh_ex)
-    ).reshape(n, k, 3)
-
-    # At the camera level the BSDF strategies are the spawned indirect ray
-    # families. At secondary hits BOTH lobes MIS against the 1-sample BSDF
-    # strategy of _j_spec_direct / the continuation family: without it, a
-    # sharp lobe crossing a big light or a hit adjacent to a light (area pdf
-    # explodes) is an unbounded-variance firefly factory. The reference's
-    # AiEvaluateLightSample always runs both strategies.
-    nb_d = static.nb_d if camera_level else 1
-    nb_g = static.nb_g if camera_level else 1
-    diffuse, specular = _direct_reduce(matg, frame, wo, grid, shadowed,
-                                       nb_d, nb_g)
-    if camera_level and static.has_skin:
-        # skin diffuse at camera level is replaced by the SSS probe stage
-        diffuse = jnp.where((matg.mtype == MAT_SKIN)[..., None], 0.0, diffuse)
-    if indirect_scaled:
-        is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
-        diffuse = jnp.where(
-            is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
-        )
-        specular = jnp.where(
-            is_dsy, specular * matg.indirect_specular_scale[..., None], specular
-        )
-    radiance = diffuse + specular + matg.emission
-    valid3 = surf.valid[..., None]
-    return (
-        surf, matg, frame, wo,
-        jnp.where(valid3, radiance, 0.0),
-        jnp.where(valid3, diffuse, 0.0),
-        jnp.where(valid3, specular, 0.0),
-        (t, tri, uu, vv),
-    )
-
-
 def _spawn(sc, static, surf, matg, frame, wo, key, lobe, nb):
     """BSDF-sample nb rays per hit for one lobe; returns flat rays +
     per-sample weights/pdfs (ray-major layout)."""
@@ -547,7 +482,7 @@ def _spawn(sc, static, surf, matg, frame, wo, key, lobe, nb):
     ok = (
         active[:, None] & surf.valid[:, None]
         & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
-        & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _j_spec_direct)
+        & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _spec_direct_t)
     )
     w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
     o_flat = jnp.repeat(surf.p, nb, axis=0)
@@ -555,49 +490,7 @@ def _spawn(sc, static, surf, matg, frame, wo, key, lobe, nb):
     return o_flat + d_flat * RAY_EPS, d_flat, w, jnp.where(ok, pdf, 0.0), ok
 
 
-@partial(jax.jit, static_argnames=("static", "lobe", "nb", "cam_pickup"))
-def _j_family(sc, static, surf, matg, frame, wo, key, *, lobe, nb, cam_pickup):
-    """Fused lobe family: spawn + trace (Pallas) + analytic light/sky pickup.
-    Returns (o1, d1, w1, pick, trace_pack)."""
-    o1, d1, w1, pdf1, ok1 = _spawn(sc, static, surf, matg, frame, wo, key,
-                                   lobe, nb)
-    vis = VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY
-    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1, vis_mask=vis)
-    scene_t = jnp.where(hit.tri >= 0, hit.t, 1e30)
-    lobe_pdf = pdf1.reshape(-1)
-    nf_rep = jnp.repeat(surf.nf, nb, axis=0)
-    pick = _light_pickup(sc, static, o1, d1, scene_t, lobe_pdf, nb,
-                         cam_pickup, lobe=lobe)
-    pick = pick + _sky_pickup(sc, static, nf_rep, d1, hit.tri < 0, lobe_pdf,
-                              nb, lobe=lobe)
-    return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
-
-
-@partial(jax.jit, static_argnames=("static", "nb"))
-def _j_refr_family(sc, static, surf, matg, frame, wo, key, *, nb):
-    """Fused rough-refraction spawn (Walter Eq.41 weights) + trace."""
-    n = surf.p.shape[0]
-    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
-    matg_b = _expand(matg)
-    wo_b = wo[:, None, :]
-    wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
-    ok = surf.valid[:, None] & matg.has_refract[:, None]
-    ok = jnp.broadcast_to(ok, wi_l.shape[:2])
-    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-    wi_w = to_world(frame_b, wi_l)
-    o_flat = jnp.repeat(surf.p, nb, axis=0)
-    d_flat = wi_w.reshape(-1, 3)
-    o1 = o_flat + d_flat * RAY_EPS
-    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d_flat,
-                           vis_mask=VIS_REFRACTED)
-    return (
-        o1, d_flat, jnp.where(ok[..., None], wgt, 0.0), ok,
-        (hit.t, hit.tri, hit.u, hit.v),
-    )
-
-
-@partial(jax.jit, static_argnames=("static", "lobes"))
-def _j_spec_direct(sc, static, surf, matg, frame, wo, key, *, lobes):
+def _spec_direct_t(sc, static, surf, matg, frame, wo, key, lobes):
     """Fused BSDF half of the secondary-hit direct lighting for `lobes`:
     one lobe sample per hit, analytic nearest-light emission, occlusion
     (Pallas) — the 1-sample fallback when a lobe's GI depth is exhausted."""
@@ -677,12 +570,373 @@ def _j_spec_direct(sc, static, surf, matg, frame, wo, key, *, lobes):
     return out
 
 
+class RenderConf(NamedTuple):
+    """Hashable per-render configuration (static jit argument): the GI depth
+    gates and sample splits from the options node (rlGgx.cpp:139-154) plus
+    the pixel ray-cone spread."""
+
+    gi_diffuse_depth: int
+    gi_glossy_depth: int
+    gi_refraction_depth: int
+    gi_total_depth: int
+    gi_sss_samples: int
+    nb_d: int
+    nb_g: int
+    nb_r: int
+    pix_spread: float
+
+
+class SSSIn(NamedTuple):
+    """Camera-hit fields the (host-compacted) SSS stage consumes."""
+
+    p: jnp.ndarray
+    ns: jnp.ndarray
+    mesh_id: jnp.ndarray
+    valid: jnp.ndarray
+    sss_weight: jnp.ndarray
+    sss_dist: jnp.ndarray
+    sss_color: jnp.ndarray
+    cavity_fadeout: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Generation-tree orchestration (pure traced functions; host-side recursion
+# is unrolled statically by the depth gates). The WHOLE per-tile pipeline
+# compiles into ONE program (_j_tile) — anything eager between stages costs
+# a full dispatch round-trip on the tunneled TPU (~0.2s each).
+# ---------------------------------------------------------------------------
+
+def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
+                 indirect_scaled, base_fp=None, spread=None, trace_pack=None):
+    n = o.shape[0]
+    if base_fp is None:
+        base_fp = jnp.zeros((n,), jnp.float32)
+    if spread is None:
+        spread = jnp.full((n,), conf.pix_spread, jnp.float32)
+    if trace_pack is None:
+        hit = tracemod.nearest(sc.accel, sc.geometry, o, d, vis_mask=vis)
+        trace_pack = (hit.t, hit.tri, hit.u, hit.v)
+    t, tri, uu, vv = trace_pack
+
+    surf = _surface(sc, t, tri, uu, vv, o, d, base_fp, spread)
+    if static.has_bump:
+        ns_b = dispatch.apply_bump(
+            sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
+        )
+        sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
+        surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
+    matg = dispatch.gather(
+        sc.materials, sc.textures, surf.mat_id, surf.uv,
+        surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
+    )
+    frame = build_frame_polar(surf.nf)
+    wo = to_local(frame, -d)
+    grid = _light_grid(sc, static, surf, key, camera_level)
+    nn, k = grid.pdf.shape
+    sh_o = jnp.broadcast_to(surf.p[:, None, :], (nn, k, 3)).reshape(-1, 3)
+    sh_d = grid.wi.reshape(-1, 3)
+    sh_t = grid.dist.reshape(-1)
+    sh_ex = jnp.broadcast_to(surf.tri[:, None], (nn, k)).reshape(-1)
+    shadowed = _shadow_transmission(
+        sc, static, (sh_o + sh_d * RAY_EPS, sh_d, sh_t - 2 * RAY_EPS, sh_ex)
+    ).reshape(nn, k, 3)
+    # receive_shadows off (the shared scene's side walls, test_geo.ass:214):
+    # the surface is lit as if unoccluded
+    rcv = sc.geometry.receive_shadows[jnp.maximum(tri, 0)]
+    shadowed = jnp.where(rcv[:, None, None], shadowed, 1.0)
+
+    # At the camera level the BSDF strategies are the spawned indirect ray
+    # families; at secondary hits both lobes MIS against the 1-sample BSDF
+    # strategy (continuation family or spec_direct fallback). The
+    # reference's AiEvaluateLightSample always runs both strategies.
+    nb_d = static.nb_d if camera_level else 1
+    nb_g = static.nb_g if camera_level else 1
+    diffuse, specular = _direct_reduce(matg, frame, wo, grid, shadowed,
+                                       nb_d, nb_g)
+    if camera_level and static.has_skin:
+        # skin diffuse at camera level is replaced by the SSS probe stage
+        diffuse = jnp.where((matg.mtype == MAT_SKIN)[..., None], 0.0, diffuse)
+    if indirect_scaled:
+        is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
+        diffuse = jnp.where(
+            is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
+        )
+        specular = jnp.where(
+            is_dsy, specular * matg.indirect_specular_scale[..., None], specular
+        )
+    radiance = diffuse + specular + matg.emission
+    valid3 = surf.valid[..., None]
+    return (
+        surf, matg, frame, wo,
+        jnp.where(valid3, radiance, 0.0),
+        jnp.where(valid3, diffuse, 0.0),
+        jnp.where(valid3, specular, 0.0),
+        (t, tri, uu, vv),
+    )
+
+
+def _family_t(sc, static, conf, surf, matg, frame, wo, key, lobe, nb,
+              cam_pickup):
+    """Spawn + trace + analytic light/sky pickup for one lobe family."""
+    o1, d1, w1, pdf1, ok1 = _spawn(sc, static, surf, matg, frame, wo, key,
+                                   lobe, nb)
+    vis = VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY
+    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1, vis_mask=vis)
+    scene_t = jnp.where(hit.tri >= 0, hit.t, 1e30)
+    lobe_pdf = pdf1.reshape(-1)
+    nf_rep = jnp.repeat(surf.nf, nb, axis=0)
+    pick = _light_pickup(sc, static, o1, d1, scene_t, lobe_pdf, nb,
+                         cam_pickup, lobe=lobe)
+    pick = pick + _sky_pickup(sc, static, nf_rep, d1, hit.tri < 0, lobe_pdf,
+                              nb, lobe=lobe)
+    return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
+
+
+def _refr_t(sc, static, conf, surf, matg, frame, wo, key, nb):
+    """Rough-refraction spawn (Walter Eq.41 weights) + trace."""
+    n = surf.p.shape[0]
+    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
+    matg_b = _expand(matg)
+    wo_b = wo[:, None, :]
+    wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
+    ok = surf.valid[:, None] & matg.has_refract[:, None]
+    ok = jnp.broadcast_to(ok, wi_l.shape[:2])
+    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
+    wi_w = to_world(frame_b, wi_l)
+    o_flat = jnp.repeat(surf.p, nb, axis=0)
+    d_flat = wi_w.reshape(-1, 3)
+    o1 = o_flat + d_flat * RAY_EPS
+    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d_flat,
+                           vis_mask=VIS_REFRACTED)
+    return (
+        o1, d_flat, jnp.where(ok[..., None], wgt, 0.0), ok,
+        (hit.t, hit.tri, hit.u, hit.v),
+    )
+
+
+def _lobe_family_full(sc, static, conf, surf, matg, frame, wo, key, lobe, nb,
+                      rr, indirect_scaled, cam_pickup=False, scale=None):
+    """Family + one-deeper recursion. At secondary hits the deeper surface
+    radiance counts only for `standard`-shader materials: the reference
+    plugins integrate indirect at CAMERA hits only (rlGgx.cpp:307-323
+    `sg->Rt & AI_RAY_CAMERA`), while Arnold's own standard shader recurses
+    to the GI_*_depth gates."""
+    n = surf.p.shape[0]
+    o1, d1, w1, pick, tp1 = _family_t(
+        sc, static, conf, surf, matg, frame, wo, key, lobe, nb, cam_pickup
+    )
+    if lobe == "diffuse":
+        spread1 = jnp.full((n * nb,), 1.0, jnp.float32)
+    else:
+        spread1 = jnp.repeat(
+            jnp.maximum(matg.ggx.alpha_g, conf.pix_spread), nb, axis=0
+        )
+    _, sub_rgb, _, _ = _shade_generation_t(
+        sc, static, conf, o1, d1, rng.fold(key, 7),
+        VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY,
+        camera_level=False, indirect_scaled=indirect_scaled,
+        is_refraction=False, rr=rr, ray_lobe=lobe,
+        base_fp=jnp.repeat(surf.fp, nb, axis=0), spread=spread1,
+        trace_pack=tp1,
+    )
+    if cam_pickup:
+        sub = pick + sub_rgb
+    else:
+        is_std = jnp.repeat(matg.mtype == MAT_STANDARD, nb, axis=0)
+        sub = pick + jnp.where(is_std[..., None], sub_rgb, 0.0)
+    out = (w1 * sub.reshape(n, nb, 3)).mean(axis=1)
+    if scale is not None:
+        out = out * scale[..., None]
+    return out
+
+
+def _secondary_indirect_t(sc, static, conf, surf, matg, frame, wo, key,
+                          ray_lobe, rr, indirect_scaled):
+    """Indirect + BSDF-direct at a secondary hit, honoring the GI depth
+    gates (GI_diffuse/glossy_depth continuation, GI_total_depth cap;
+    rlGgx.cpp:151-154). Depth-exhausted lobes keep the 1-sample pickup."""
+    rd, rg, rrf, rt = rr
+    out = jnp.zeros_like(surf.p)
+    fallback = []
+    # glossy continuation never spawns from diffuse rays (the standard
+    # shader's enable_glossy_caustics off, test_geo.ass)
+    if (ray_lobe != "diffuse" and rg < conf.gi_glossy_depth
+            and rt < conf.gi_total_depth):
+        out = out + _lobe_family_full(
+            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 62),
+            "specular", 1, (rd, rg + 1, rrf, rt + 1), indirect_scaled,
+        )
+    else:
+        fallback.append("specular")
+    if rd < conf.gi_diffuse_depth and rt < conf.gi_total_depth:
+        out = out + _lobe_family_full(
+            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 61),
+            "diffuse", 1, (rd + 1, rg, rrf, rt + 1), indirect_scaled,
+        )
+    else:
+        fallback.append("diffuse")
+    if fallback and (sum(static.quad_valid) or sum(static.disk_valid)):
+        out = out + _spec_direct_t(
+            sc, static, surf, matg, frame, wo, key, tuple(fallback)
+        )
+    return out
+
+
+def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
+                        indirect_scaled, is_refraction, rr=(0, 0, 0, 0),
+                        ray_lobe="camera", base_fp=None, spread=None,
+                        trace_pack=None):
+    """Trace + fully shade one ray generation; returns (surf pack, rgb,
+    aov_d, aov_s). `rr` = (Rr_diff, Rr_gloss, Rr_refr, Rr) recursion
+    counters AT this hit (the shader-globals depth fields the reference
+    gates on, rlGgx.cpp:151-154); recursion unrolls statically, bounded by
+    the GI_*_depth options."""
+    surf, matg, frame, wo, rgb, aov_d, aov_s, tp = _gen_shade_t(
+        sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
+        base_fp, spread, trace_pack,
+    )
+    tri = tp[1]
+    if not camera_level:
+        rgb = rgb + _secondary_indirect_t(
+            sc, static, conf, surf, matg, frame, wo, key, ray_lobe, rr,
+            indirect_scaled,
+        )
+        # rlSkin evaluates the BSSRDF whenever the shader runs on a
+        # non-diffuse ray (rlSss.h:170-199) — glossy/refraction re-entry
+        # sees SSS too (1 probe sample deep here). Gated to true rlSkin
+        # scenes: the standard shader's Ksss lobe is camera-only.
+        if (static.has_skin_mat and ray_lobe in ("glossy", "refracted")
+                and conf.gi_sss_samples > 0):
+            from . import sss as sssmod
+
+            is_sss = (matg.sss_weight > 1e-5) & surf.valid
+            rgb = rgb + sssmod.sss_eval(
+                sc, static,
+                sssmod.SSS_FIELDS(surf, matg, is_sss), rng.fold(key, 5),
+                n_sss=1, gi_diffuse=conf.gi_diffuse_depth,
+            )
+    if is_refraction:
+        miss_rgb = jnp.where(
+            (tri < 0)[..., None],
+            sc.sky_radiance if static.sky_exists else jnp.zeros(3),
+            0.0,
+        )
+        rgb = rgb + miss_rgb
+
+    rd, rg, rrf, rt = rr
+    if (rrf < conf.gi_refraction_depth and rt < conf.gi_total_depth
+            and static.has_refract):
+        o2, d2, wgt, ok, tp2 = _refr_t(
+            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 900), 1
+        )
+        sub_pack = _shade_generation_t(
+            sc, static, conf, o2, d2, rng.fold(key, 33), VIS_REFRACTED,
+            camera_level=False, indirect_scaled=indirect_scaled,
+            is_refraction=True, rr=(rd, rg, rrf + 1, rt + 1),
+            ray_lobe="refracted",
+            base_fp=surf.fp,
+            spread=jnp.maximum(matg.ggx.alpha_g, conf.pix_spread),
+            trace_pack=tp2,
+        )
+        sub_rgb = sub_pack[1]
+        n = surf.p.shape[0]
+        add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
+        rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
+    return (surf, matg, frame, wo), rgb, aov_d, aov_s
+
+
+@partial(jax.jit, static_argnames=("static", "conf", "tile_rays"))
+def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
+            tile_rays):
+    """ONE compiled program for a full tile: slice the tile's rays out of
+    the frame arrays, then the whole generation tree (every trace, shadow
+    batch, continuation and splice), minus the host-compacted camera-level
+    SSS stage."""
+    origin = jax.lax.dynamic_slice(origin_full, (start, 0), (tile_rays, 3))
+    direction = jax.lax.dynamic_slice(
+        direction_full, (start, 0), (tile_rays, 3)
+    )
+    n0 = tile_rays
+    (surf0, matg0, frame0, wo0), rgb, aov_dd, aov_ds = _shade_generation_t(
+        sc, static, conf, origin, direction, rng.fold(key, 0), VIS_CAMERA,
+        camera_level=True, indirect_scaled=False, is_refraction=False,
+        # camera-level depth gates are the explicit families below
+        rr=(99, 99, 99, 99), ray_lobe="camera",
+    )
+    if static.sky_exists:
+        rgb = rgb + jnp.where(
+            (~surf0.valid)[..., None], sc.sky_radiance, 0.0
+        )
+    aovs = {"direct_diffuse": aov_dd, "direct_specular": aov_ds}
+
+    if conf.nb_d:
+        scale = jnp.where(
+            matg0.mtype == MAT_DISNEY, matg0.indirect_diffuse_scale, 1.0
+        )
+        c = _lobe_family_full(
+            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 1),
+            "diffuse", conf.nb_d, (1, 0, 0, 1), indirect_scaled=True,
+            cam_pickup=True, scale=scale,
+        )
+        aovs["indirect_diffuse"] = c
+        rgb = rgb + c
+    else:
+        aovs["indirect_diffuse"] = jnp.zeros((n0, 3))
+
+    if conf.nb_g:
+        scale = jnp.where(
+            matg0.mtype == MAT_DISNEY, matg0.indirect_specular_scale, 1.0
+        )
+        c = _lobe_family_full(
+            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 2),
+            "specular", conf.nb_g, (0, 1, 0, 1), indirect_scaled=True,
+            cam_pickup=True, scale=scale,
+        )
+        aovs["indirect_specular"] = c
+        rgb = rgb + c
+    else:
+        aovs["indirect_specular"] = jnp.zeros((n0, 3))
+
+    if conf.nb_r:
+        o1, d1, wgt, ok, tp1 = _refr_t(
+            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 3),
+            conf.nb_r,
+        )
+        _, sub_rgb, _, _ = _shade_generation_t(
+            sc, static, conf, o1, d1, rng.fold(key, 13), VIS_REFRACTED,
+            camera_level=False, indirect_scaled=False,
+            is_refraction=True, rr=(0, 0, 1, 1), ray_lobe="refracted",
+            base_fp=jnp.repeat(surf0.fp, conf.nb_r, axis=0),
+            spread=jnp.repeat(
+                jnp.maximum(matg0.ggx.alpha_g, conf.pix_spread),
+                conf.nb_r, axis=0,
+            ),
+            trace_pack=tp1,
+        )
+        c = (
+            jnp.where(ok[..., None], wgt, 0.0)
+            * sub_rgb.reshape(n0, conf.nb_r, 3)
+        ).mean(1)
+        aovs["refraction"] = c
+        rgb = rgb + c
+    else:
+        aovs["refraction"] = jnp.zeros((n0, 3))
+    aovs["sss"] = jnp.zeros((n0, 3))
+
+    sss_in = SSSIn(
+        p=surf0.p, ns=surf0.ns, mesh_id=surf0.mesh_id, valid=surf0.valid,
+        sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist,
+        sss_color=matg0.sss_color, cavity_fadeout=matg0.cavity_fadeout,
+    )
+    return rgb, aovs, sss_in
+
+
 class TileRenderer:
-    """Host-side orchestration over the fused module-level stages.
+    """Thin host wrapper over the single-program tile pipeline.
 
     The scene lives on device as one pytree (`DeviceScene`, a single
-    device_put) passed as an argument to each stage; compiled programs are
-    shared across tiles/instances/scenes of the same table shapes."""
+    device_put) passed as an argument; the compiled tile program is shared
+    across tiles, renders, instances and same-shape scenes."""
 
     def __init__(self, scene: Scene, accel, aa_samples: int):
         self.scene = scene
@@ -691,21 +945,33 @@ class TileRenderer:
         self.accel = accel
         self.aa = aa_samples
         o = scene.options
-        self.nb_d = self.static.nb_d
-        self.nb_g = self.static.nb_g
-        self.nb_r = (
+        nb_r = (
             o.gi_refraction_samples ** 2
             if (o.gi_refraction_depth > 0 and self.static.has_refract)
             else 0
         )
-
         # per-unit-distance angular footprint of one pixel (ray-cone spread
         # for texture LOD); AA samples share the pixel footprint like
         # Arnold's per-pixel ray differentials
-        self.pix_spread = float(
+        pix_spread = float(
             2.0 * np.tan(np.deg2rad(scene.camera.fov_deg) * 0.5)
             / max(scene.camera.xres, 1)
         )
+        self.conf = RenderConf(
+            gi_diffuse_depth=o.gi_diffuse_depth,
+            gi_glossy_depth=o.gi_glossy_depth,
+            gi_refraction_depth=o.gi_refraction_depth,
+            gi_total_depth=o.gi_total_depth,
+            gi_sss_samples=o.gi_sss_samples,
+            nb_d=self.static.nb_d,
+            nb_g=self.static.nb_g,
+            nb_r=nb_r,
+            pix_spread=pix_spread,
+        )
+        self.nb_d, self.nb_g, self.nb_r = (
+            self.conf.nb_d, self.conf.nb_g, self.conf.nb_r
+        )
+        self.pix_spread = pix_spread
         self.stats = {"nearest_rays": 0, "shadow_rays": 0, "traces": 0}
         # RLS_PROFILE=1: per-stage wall timing (blocking) accumulated into
         # stats as t_<stage>/n_<stage> — the SURVEY §5 profiling hook; pair
@@ -719,17 +985,14 @@ class TileRenderer:
             return fn(*args, **kwargs)
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        try:
+            jax.block_until_ready(out)
+        except Exception:
+            pass  # tracing context: nothing to block on
         dt = time.perf_counter() - t0
         self.stats[f"t_{name}"] = self.stats.get(f"t_{name}", 0.0) + dt
         self.stats[f"n_{name}"] = self.stats.get(f"n_{name}", 0) + 1
         return out
-
-    def _count_gen(self, n, k_shadow=None):
-        self.stats["nearest_rays"] += int(n)
-        self.stats["traces"] += 1
-        if k_shadow:
-            self.stats["shadow_rays"] += int(n * k_shadow)
 
     def _grid_k(self, camera_level: bool) -> int:
         """Light-grid column count (shadow rays per hit) for stats."""
@@ -745,271 +1008,81 @@ class TileRenderer:
             k += max(st.sky_samples, 1) if camera_level else 1
         return k
 
-    # ----- generation tree (host recursion, bounded by GI_*_depth) -----
+    def _estimate_tile_rays(self, n: int):
+        """Host mirror of the generation tree for the ray counters (the
+        compiled program cannot update python stats)."""
+        conf = self.conf
+        nearest = 0
+        shadow = 0
 
-    def gen_shade(self, o, d, key, vis, camera_level, indirect_scaled,
-                  base_fp=None, spread=None, trace_pack=None):
-        """Run the fused shade program for one generation."""
-        n = o.shape[0]
-        if base_fp is None:
-            base_fp = jnp.zeros((n,), jnp.float32)
-        if spread is None:
-            spread = jnp.full((n,), self.pix_spread, jnp.float32)
-        if trace_pack is None:
-            z = jnp.zeros((n,), jnp.float32)
-            trace_pack = (z, jnp.zeros((n,), jnp.int32), z, z)
-            with_trace = True
-        else:
-            with_trace = False
-        self._count_gen(n, self._grid_k(camera_level))
-        t, tri, uu, vv = trace_pack
-        return self._run(
-            "gen_shade", _j_gen_shade,
-            self.sc, self.static, t, tri, uu, vv, o, d, key, base_fp, spread,
-            vis=vis, camera_level=camera_level,
-            indirect_scaled=indirect_scaled, with_trace=with_trace,
-        )
+        def gen(n_rays, camera_level, ray_lobe, rr):
+            nonlocal nearest, shadow
+            nearest += n_rays
+            shadow += n_rays * self._grid_k(camera_level)
+            rd, rg, rrf, rt = rr
+            if not camera_level:
+                fallback = 0
+                if (ray_lobe != "diffuse" and rg < conf.gi_glossy_depth
+                        and rt < conf.gi_total_depth):
+                    nearest += n_rays
+                    gen(n_rays, False, "glossy",
+                        (rd, rg + 1, rrf, rt + 1))
+                else:
+                    fallback += 1
+                if rd < conf.gi_diffuse_depth and rt < conf.gi_total_depth:
+                    nearest += n_rays
+                    gen(n_rays, False, "diffuse",
+                        (rd + 1, rg, rrf, rt + 1))
+                else:
+                    fallback += 1
+                shadow += n_rays * fallback
+            if (rrf < conf.gi_refraction_depth and rt < conf.gi_total_depth
+                    and self.static.has_refract):
+                nearest += n_rays
+                gen(n_rays, False, "refracted", (rd, rg, rrf + 1, rt + 1))
 
-    def shade_generation(self, o, d, key, vis, camera_level, indirect_scaled,
-                         is_refraction, rr=(0, 0, 0, 0), ray_lobe="camera",
-                         base_fp=None, spread=None, trace_pack=None):
-        """Trace + fully shade one ray generation; returns (surf pack, rgb,
-        aov_d, aov_s). `rr` = (Rr_diff, Rr_gloss, Rr_refr, Rr) recursion
-        counters AT this hit (the shader-globals depth fields the reference
-        gates on, rlGgx.cpp:151-154). Recurses host-side, bounded by the
-        GI_*_depth options."""
-        surf, matg, frame, wo, rgb, aov_d, aov_s, tp = self.gen_shade(
-            o, d, key, vis, camera_level, indirect_scaled,
-            base_fp, spread, trace_pack,
-        )
-        t, tri = tp[0], tp[1]
-        if not camera_level:
-            rgb = rgb + self._secondary_indirect(
-                surf, matg, frame, wo, key, ray_lobe, rr, indirect_scaled
-            )
-            # rlSkin evaluates the BSSRDF whenever the shader runs on a
-            # non-diffuse ray (rlSss.h:170-199), not just at camera hits —
-            # glossy/refraction re-entry sees SSS too (1 probe deep here).
-            # Gated to true rlSkin scenes: the standard shader's Ksss lobe
-            # is camera-only in Arnold 4.
-            if (self.static.has_skin_mat
-                    and ray_lobe in ("glossy", "refracted")
-                    and self.scene.options.gi_sss_samples > 0):
-                from . import sss as sssmod
-
-                rgb = rgb + self._run(
-                    "sss2", sssmod.sss_stage, self, surf, matg,
-                    rng.fold(key, 5), n_sss=1,
-                )
-        if is_refraction:
-            miss_rgb = jnp.where(
-                (tri < 0)[..., None],
-                self.sc.sky_radiance if self.static.sky_exists else jnp.zeros(3),
-                0.0,
-            )
-            rgb = rgb + miss_rgb
-
-        opts = self.scene.options
-        rd, rg, rrf, rt = rr
-        if (rrf < opts.gi_refraction_depth and rt < opts.gi_total_depth
-                and self.static.has_refract):
-            self._count_gen(surf.p.shape[0])
-            o2, d2, wgt, ok, tp2 = self._run(
-                "refr", _j_refr_family,
-                self.sc, self.static, surf, matg, frame, wo,
-                rng.fold(key, 900), nb=1,
-            )
-            sub_pack = self.shade_generation(
-                o2, d2, rng.fold(key, 33), VIS_REFRACTED,
-                camera_level=False, indirect_scaled=indirect_scaled,
-                is_refraction=True, rr=(rd, rg, rrf + 1, rt + 1),
-                ray_lobe="refracted",
-                base_fp=surf.fp,
-                spread=jnp.maximum(matg.ggx.alpha_g, self.pix_spread),
-                trace_pack=tp2,
-            )
-            sub_rgb = sub_pack[1]
-            n = surf.p.shape[0]
-            add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
-            rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
-        return (surf, matg, frame, wo), rgb, aov_d, aov_s
-
-    def _lobe_family(self, surf, matg, frame, wo, key, lobe, nb, rr,
-                     indirect_scaled, cam_pickup=False, scale=None):
-        """Spawn nb BSDF rays for `lobe`, pick up light emission (two-strategy
-        MIS) and recurse one generation deeper. At secondary hits the deeper
-        surface radiance counts only for `standard`-shader materials: the
-        reference plugins integrate indirect at CAMERA hits only
-        (rlGgx.cpp:307-323 `sg->Rt & AI_RAY_CAMERA`), while Arnold's own
-        standard shader recurses to the GI_*_depth gates — the host recursion
-        this method re-expresses as a bounded wavefront chain."""
-        n = surf.p.shape[0]
-        self._count_gen(n * nb)
-        o1, d1, w1, pick, tp1 = self._run(
-            "family", _j_family,
-            self.sc, self.static, surf, matg, frame, wo, key,
-            lobe=lobe, nb=nb, cam_pickup=cam_pickup,
-        )
-        if lobe == "diffuse":
-            spread1 = jnp.full((n * nb,), 1.0, jnp.float32)
-        else:
-            spread1 = jnp.repeat(
-                jnp.maximum(matg.ggx.alpha_g, self.pix_spread), nb, axis=0
-            )
-        _, sub_rgb, _, _ = self.shade_generation(
-            o1, d1, rng.fold(key, 7),
-            VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY,
-            camera_level=False, indirect_scaled=indirect_scaled,
-            is_refraction=False, rr=rr, ray_lobe=lobe,
-            base_fp=jnp.repeat(surf.fp, nb, axis=0), spread=spread1,
-            trace_pack=tp1,
-        )
-        if cam_pickup:
-            sub = pick + sub_rgb
-        else:
-            # deeper-surface radiance is standard-shader-only at secondary
-            # hits (reference plugins: camera-only indirect)
-            is_std = jnp.repeat(matg.mtype == MAT_STANDARD, nb, axis=0)
-            sub = pick + jnp.where(is_std[..., None], sub_rgb, 0.0)
-        out = (w1 * sub.reshape(n, nb, 3)).mean(axis=1)
-        if scale is not None:
-            out = out * scale[..., None]
-        return out
-
-    def _secondary_indirect(self, surf, matg, frame, wo, key, ray_lobe, rr,
-                            indirect_scaled):
-        """Indirect + BSDF-direct at a secondary hit, honoring the GI depth
-        gates (GI_diffuse/glossy_depth via continuation families,
-        GI_total_depth as the overall cap; rlGgx.cpp:151-154 semantics).
-        Lobes whose depth is exhausted keep the 1-sample direct pickup."""
-        opts = self.scene.options
-        rd, rg, rrf, rt = rr
-        out = jnp.zeros_like(surf.p)
-        fallback = []
-        # glossy continuation never spawns from diffuse rays (the standard
-        # shader's enable_glossy_caustics off, test_geo.ass)
-        if (ray_lobe != "diffuse" and rg < opts.gi_glossy_depth
-                and rt < opts.gi_total_depth):
-            out = out + self._lobe_family(
-                surf, matg, frame, wo, rng.fold(key, 62), "specular", 1,
-                (rd, rg + 1, rrf, rt + 1), indirect_scaled,
-            )
-        else:
-            fallback.append("specular")
-        if rd < opts.gi_diffuse_depth and rt < opts.gi_total_depth:
-            out = out + self._lobe_family(
-                surf, matg, frame, wo, rng.fold(key, 61), "diffuse", 1,
-                (rd + 1, rg, rrf, rt + 1), indirect_scaled,
-            )
-        else:
-            fallback.append("diffuse")
-        if fallback and (sum(self.static.quad_valid)
-                         or sum(self.static.disk_valid)):
-            self._count_gen(surf.p.shape[0] * len(fallback))
-            out = out + self._run(
-                "spec_direct", _j_spec_direct,
-                self.sc, self.static, surf, matg, frame, wo, key,
-                lobes=tuple(fallback),
-            )
-        return out
+        gen(n, True, "camera", (99, 99, 99, 99))
+        if conf.nb_d:
+            nearest += n * conf.nb_d
+            gen(n * conf.nb_d, False, "diffuse", (1, 0, 0, 1))
+        if conf.nb_g:
+            nearest += n * conf.nb_g
+            gen(n * conf.nb_g, False, "glossy", (0, 1, 0, 1))
+        if conf.nb_r:
+            nearest += n * conf.nb_r
+            gen(n * conf.nb_r, False, "refracted", (0, 0, 1, 1))
+        self.stats["nearest_rays"] += nearest
+        self.stats["shadow_rays"] += shadow
+        self.stats["traces"] += 1
 
     def render_tile(self, rays: cameramod.CameraRays, key):
-        scene = self.scene
-        opts = scene.options
-        n0 = rays.origin.shape[0]
-
-        (surf0, matg0, frame0, wo0), rgb, aov_dd, aov_ds = self.shade_generation(
-            rays.origin, rays.direction, rng.fold(key, 0), VIS_CAMERA,
-            camera_level=True, indirect_scaled=False, is_refraction=False,
-            # depth gates handled by the explicit camera-level families below
-            rr=(99, 99, 99, 99), ray_lobe="camera",
+        return self.render_tile_at(
+            rays.origin, rays.direction, 0, rays.origin.shape[0], key
         )
-        # camera sees the skydome directly
-        if self.static.sky_exists:
-            rgb = rgb + jnp.where(
-                (~surf0.valid)[..., None], self.sc.sky_radiance, 0.0
-            )
-        aovs = {"direct_diffuse": aov_dd, "direct_specular": aov_ds}
 
-        if self.nb_d:
-            scale = jnp.where(
-                matg0.mtype == MAT_DISNEY, matg0.indirect_diffuse_scale, 1.0
-            )
-            c = self._lobe_family(
-                surf0, matg0, frame0, wo0, rng.fold(key, 1), "diffuse",
-                self.nb_d, (1, 0, 0, 1), indirect_scaled=True,
-                cam_pickup=True, scale=scale,
-            )
-            aovs["indirect_diffuse"] = c
-            rgb = rgb + c
-        else:
-            aovs["indirect_diffuse"] = jnp.zeros((n0, 3))
-
-        if self.nb_g:
-            scale = jnp.where(
-                matg0.mtype == MAT_DISNEY, matg0.indirect_specular_scale, 1.0
-            )
-            c = self._lobe_family(
-                surf0, matg0, frame0, wo0, rng.fold(key, 2), "specular",
-                self.nb_g, (0, 1, 0, 1), indirect_scaled=True,
-                cam_pickup=True, scale=scale,
-            )
-            aovs["indirect_specular"] = c
-            rgb = rgb + c
-        else:
-            aovs["indirect_specular"] = jnp.zeros((n0, 3))
-
-        if self.nb_r:
-            self._count_gen(n0 * self.nb_r)
-            o1, d1, wgt, ok, tp1 = self._run(
-                "refr", _j_refr_family,
-                self.sc, self.static, surf0, matg0, frame0, wo0,
-                rng.fold(key, 3), nb=self.nb_r,
-            )
-            _, sub_rgb, _, _ = self.shade_generation(
-                o1, d1, rng.fold(key, 13), VIS_REFRACTED,
-                camera_level=False, indirect_scaled=False,
-                is_refraction=True, rr=(0, 0, 1, 1), ray_lobe="refracted",
-                base_fp=jnp.repeat(surf0.fp, self.nb_r, axis=0),
-                spread=jnp.repeat(
-                    jnp.maximum(matg0.ggx.alpha_g, self.pix_spread),
-                    self.nb_r, axis=0,
-                ),
-                trace_pack=tp1,
-            )
-            c = (
-                jnp.where(ok[..., None], wgt, 0.0)
-                * sub_rgb.reshape(n0, self.nb_r, 3)
-            ).mean(1)
-            aovs["refraction"] = c
-            rgb = rgb + c
-        else:
-            aovs["refraction"] = jnp.zeros((n0, 3))
-
-        if self.static.has_skin and opts.gi_sss_samples > 0:
+    def render_tile_at(self, origin_full, direction_full, start, tile_rays,
+                       key):
+        self._estimate_tile_rays(tile_rays)
+        rgb, aovs, sss_in = self._run(
+            "tile", _j_tile,
+            self.sc, self.static, self.conf, origin_full, direction_full,
+            start, key, tile_rays=tile_rays,
+        )
+        if self.static.has_skin and self.conf.gi_sss_samples > 0:
             from . import sss as sssmod
 
             c = self._run(
-                "sss", sssmod.sss_stage, self, surf0, matg0, rng.fold(key, 4)
+                "sss", sssmod.sss_stage, self, sss_in, rng.fold(key, 4)
             )
+            aovs = dict(aovs)
             aovs["sss"] = c
-            rgb = rgb + c
-        else:
-            aovs["sss"] = jnp.zeros((n0, 3))
-
+            rgb = _j_add(rgb, c)
         return rgb, aovs
 
-    # backwards-compatible alias used by older integration points
-    def shade_generation_from_trace(self, t, tri, uu, vv, o, d, key,
-                                    indirect_scaled, rr=(0, 0, 0, 1),
-                                    ray_lobe="glossy",
-                                    base_fp=None, spread=None):
-        return self.shade_generation(
-            o, d, key, VIS_GLOSSY, camera_level=False,
-            indirect_scaled=indirect_scaled, is_refraction=False,
-            rr=rr, ray_lobe=ray_lobe, base_fp=base_fp, spread=spread,
-            trace_pack=(t, tri, uu, vv),
-        )
+
+@jax.jit
+def _j_add(a, b):
+    return a + b
 
 
 def render_progressive(
@@ -1081,23 +1154,28 @@ def render(
 
     tr = TileRenderer(scene, accel, aa)
 
-    tile_rays = tile_pixels * n_sub
+    tile_rays = min(tile_pixels * n_sub, n_pix * n_sub)
     n_rays = n_pix * n_sub
+    n_tiles = (n_rays + tile_rays - 1) // tile_rays
+    cam_rays = _pad_frame_rays(cam_rays, n_tiles * tile_rays - n_rays)
+
+    names = None
     image = None
     wsum = None
-    names = None
-
-    for ti, start in enumerate(range(0, n_rays, tile_rays)):
-        end = min(start + tile_rays, n_rays)
-        sub_rays = _slice_rays(cam_rays, start, end, tile_rays)
-        rgb, aovs = tr.render_tile(sub_rays, rng.fold(key, 1000 + ti))
-        vals, names = splatmod.pack_aovs(rgb, aovs)
-        img_t, ws_t = splatmod.splat(
-            vals, sub_rays.pixel, sub_rays.sub_xy, xres, yres,
-            float(opts.filter_width),
+    for ti in range(n_tiles):
+        start = ti * tile_rays
+        rgb, aovs = tr.render_tile_at(
+            cam_rays.origin, cam_rays.direction, start, tile_rays,
+            rng.fold(key, 1000 + ti),
         )
-        image = img_t if image is None else image + img_t
-        wsum = ws_t if wsum is None else wsum + ws_t
+        vals, names = splatmod.pack_aovs(rgb, aovs)
+        if image is None:
+            image = jnp.zeros((n_pix, vals.shape[1]), jnp.float32)
+            wsum = jnp.zeros((n_pix,), jnp.float32)
+        image, wsum = splatmod.splat_accum(
+            vals, cam_rays.pixel, cam_rays.sub_xy, start, image, wsum,
+            xres, yres, float(opts.filter_width), tile_rays,
+        )
 
     norm = jnp.maximum(wsum, 1e-12)[:, None]
     planes = splatmod.unpack_aovs(image / norm, names)
@@ -1109,26 +1187,18 @@ def render(
     return out
 
 
-def _slice_rays(cam_rays, start, end, tile_rays):
-    """Slice one tile's rays, zero-padding the final partial tile (padding
-    samples carry pixel=-1 and are dropped by the splat)."""
-    sl = slice(start, end)
-    sub_rays = cameramod.CameraRays(
-        origin=cam_rays.origin[sl],
-        direction=cam_rays.direction[sl],
-        pixel=cam_rays.pixel[sl],
-        weight=cam_rays.weight[sl],
-        sub_xy=cam_rays.sub_xy[sl],
+@partial(jax.jit, static_argnames=("pad",))
+def _pad_frame_rays(cam_rays, pad: int):
+    """Pad the frame's ray arrays so every tile is exactly tile_rays long
+    (padding samples carry pixel=-1 and are dropped by the splat)."""
+    if pad == 0:
+        return cam_rays
+    return cameramod.CameraRays(
+        origin=jnp.pad(cam_rays.origin, ((0, pad), (0, 0))),
+        direction=jnp.pad(
+            cam_rays.direction, ((0, pad), (0, 0)), constant_values=1.0
+        ),
+        pixel=jnp.pad(cam_rays.pixel, (0, pad), constant_values=-1),
+        weight=jnp.pad(cam_rays.weight, (0, pad)),
+        sub_xy=jnp.pad(cam_rays.sub_xy, ((0, pad), (0, 0))),
     )
-    if end - start < tile_rays:
-        pad = tile_rays - (end - start)
-        sub_rays = cameramod.CameraRays(
-            origin=jnp.pad(sub_rays.origin, ((0, pad), (0, 0))),
-            direction=jnp.pad(
-                sub_rays.direction, ((0, pad), (0, 0)), constant_values=1.0
-            ),
-            pixel=jnp.pad(sub_rays.pixel, (0, pad), constant_values=-1),
-            weight=jnp.pad(sub_rays.weight, (0, pad)),
-            sub_xy=jnp.pad(sub_rays.sub_xy, ((0, pad), (0, 0))),
-        )
-    return sub_rays

@@ -52,7 +52,7 @@ INV_SQRT3 = 0.5773502691896258
 # blocked ray/output buffers under the (raised, see rlshaders_tpu/__init__)
 # limit when the kernel is embedded inside a fused jitted render stage.
 # Larger batches chunk into sequential pallas_calls inside the same program.
-MAX_RAYS_PER_CALL = 131072
+MAX_RAYS_PER_CALL = 262144
 
 # octant sign patterns, index = (sx>0)<<2 | (sy>0)<<1 | (sz>0)
 _OCT_SIGNS = np.array(
@@ -509,12 +509,27 @@ def intersect(
     if r <= MAX_RAYS_PER_CALL:
         return _intersect(packed, o, d, t_max, exclude_tri,
                           vis_mask=vis_mask, t_eps=t_eps)
-    outs = []
-    for s in range(0, r, MAX_RAYS_PER_CALL):
-        e = min(s + MAX_RAYS_PER_CALL, r)
-        outs.append(_intersect(packed, o[s:e], d[s:e], t_max[s:e],
-                               exclude_tri[s:e], vis_mask=vis_mask, t_eps=t_eps))
-    return tuple(jnp.concatenate([x[i] for x in outs]) for i in range(4))
+    # big batches: lax.map over fixed-size chunks — ONE compiled chunk body
+    # regardless of batch size (a python loop would inline a fresh kernel
+    # instance per chunk and blow up compile time on the remote compiler)
+    n_chunks = (r + MAX_RAYS_PER_CALL - 1) // MAX_RAYS_PER_CALL
+    rp = n_chunks * MAX_RAYS_PER_CALL
+    pad = rp - r
+    oc = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_chunks, -1, 3)
+    dc = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).reshape(
+        n_chunks, -1, 3)
+    tc = jnp.pad(t_max, (0, pad)).reshape(n_chunks, -1)
+    ec = jnp.pad(jnp.asarray(exclude_tri, jnp.int32), (0, pad),
+                 constant_values=-1).reshape(n_chunks, -1)
+
+    def body(chunk):
+        co, cd, ct, ce = chunk
+        return _intersect(packed, co, cd, ct, ce,
+                          vis_mask=vis_mask, t_eps=t_eps)
+
+    t, tri, u, v = jax.lax.map(body, (oc, dc, tc, ec))
+    flat = lambda a: a.reshape(-1)[:r]
+    return flat(t), flat(tri), flat(u), flat(v)
 
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
@@ -591,12 +606,23 @@ def occluded(
     if r <= MAX_RAYS_PER_CALL:
         return _occluded(packed, o, d, t_max, exclude_tri,
                          vis_mask=vis_mask, t_eps=t_eps)
-    outs = []
-    for s in range(0, r, MAX_RAYS_PER_CALL):
-        e = min(s + MAX_RAYS_PER_CALL, r)
-        outs.append(_occluded(packed, o[s:e], d[s:e], t_max[s:e],
-                              exclude_tri[s:e], vis_mask=vis_mask, t_eps=t_eps))
-    return jnp.concatenate(outs)
+    n_chunks = (r + MAX_RAYS_PER_CALL - 1) // MAX_RAYS_PER_CALL
+    rp = n_chunks * MAX_RAYS_PER_CALL
+    pad = rp - r
+    oc = jnp.pad(o, ((0, pad), (0, 0))).reshape(n_chunks, -1, 3)
+    dc = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0).reshape(
+        n_chunks, -1, 3)
+    tc = jnp.pad(t_max, (0, pad)).reshape(n_chunks, -1)
+    ec = jnp.pad(jnp.asarray(exclude_tri, jnp.int32), (0, pad),
+                 constant_values=-1).reshape(n_chunks, -1)
+
+    def body(chunk):
+        co, cd, ct, ce = chunk
+        return _occluded(packed, co, cd, ct, ce,
+                         vis_mask=vis_mask, t_eps=t_eps)
+
+    blocked = jax.lax.map(body, (oc, dc, tc, ec))
+    return blocked.reshape(-1)[:r]
 
 
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))

@@ -27,13 +27,16 @@ MAT_GGX = 1
 MAT_DISNEY = 2
 MAT_SKIN = 3
 
-# Arnold ray-visibility bits (Arnold 4 convention)
+# Arnold ray-visibility bits (Arnold 4 ai_ray.h convention; scene
+# `visibility` masks use exactly these values, e.g. the shared scene's side
+# walls carry 253 = everything but SHADOW)
 VIS_CAMERA = 1
 VIS_SHADOW = 2
 VIS_REFLECTED = 4
 VIS_REFRACTED = 8
-VIS_DIFFUSE = 16
-VIS_GLOSSY = 32
+VIS_SUBSURFACE = 16
+VIS_DIFFUSE = 32
+VIS_GLOSSY = 64
 
 
 class Geometry(NamedTuple):
@@ -625,12 +628,26 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         RCV.append(np.full(t, bool(n.get("receive_shadows", True))))
 
     cat = lambda xs: np.concatenate(xs, axis=0)
+    # Effective shadow opacity: Arnold's `opaque off` means "evaluate the
+    # shader's opacity for shadow rays" — for a material with Kt = 0 and
+    # opacity = 1 (every rl* test shader: rlGgx.cpp:264-269 yields
+    # out_opacity = 1) the mesh still FULLY blocks. Bake that here so the
+    # any-hit shadow kernel treats such meshes as blockers; scenes with real
+    # transmission/opacity use the transparent-shadow march instead.
+    matid_all = cat(MATID)
+    opq_flag = cat(OPQ)
+    kt_m = np.asarray([float(r["kt"]) for r in mat_rows], np.float32)
+    op_m = np.asarray(
+        [float(np.min(r["opacity"])) for r in mat_rows], np.float32
+    )
+    mat_blocks = (kt_m[matid_all] <= 1e-5) & (op_m[matid_all] >= 1.0 - 1e-5)
+    opq_eff = opq_flag | mat_blocks
     geometry = Geometry(
         v0=jnp.asarray(cat(V0)), e1=jnp.asarray(cat(E1)), e2=jnp.asarray(cat(E2)),
         n0=jnp.asarray(cat(N0)), n1=jnp.asarray(cat(N1)), n2=jnp.asarray(cat(N2)),
         uv0=jnp.asarray(cat(UV0)), uv1=jnp.asarray(cat(UV1)), uv2=jnp.asarray(cat(UV2)),
         mat_id=jnp.asarray(cat(MATID)), mesh_id=jnp.asarray(cat(MESHID)),
-        visibility=jnp.asarray(cat(VIS)), opaque=jnp.asarray(cat(OPQ)),
+        visibility=jnp.asarray(cat(VIS)), opaque=jnp.asarray(opq_eff),
         receive_shadows=jnp.asarray(cat(RCV)),
     )
 

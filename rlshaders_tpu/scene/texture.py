@@ -124,12 +124,16 @@ def _fetch(stack: TextureStack, tid, lvl, y, x):
     return stack.data[stack.offset[tid, lvl] + yy * w + xx]
 
 
+_TEX_SHIFT = float(__import__("os").environ.get("RLS_TEX_SHIFT", "0.5"))
+
+
 def _level_uv(stack: TextureStack, tid, lvl, uv):
-    """Continuous texel coords on a level; returns (x0f, y0f, fx, fy, h, w)."""
+    """Continuous texel coords on a level; returns (x0f, y0f, fx, fy).
+    Texel centers sit at (i + RLS_TEX_SHIFT)/size (0.5 = OIIO/Arnold)."""
     h = stack.sizes[tid, lvl, 0].astype(jnp.float32)
     w = stack.sizes[tid, lvl, 1].astype(jnp.float32)
-    u = jnp.mod(uv[..., 0], 1.0) * w - 0.5
-    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * h - 0.5
+    u = jnp.mod(uv[..., 0], 1.0) * w - _TEX_SHIFT
+    v = (1.0 - jnp.mod(uv[..., 1], 1.0)) * h - _TEX_SHIFT
     x0f = jnp.floor(u)
     y0f = jnp.floor(v)
     return x0f, y0f, u - x0f, v - y0f
