@@ -318,10 +318,17 @@ def eval_specular_cos(params: DisneyParams, wo, wi, with_clearcoat: bool = True)
 
 
 def has_clearcoat(params: DisneyParams) -> bool:
-    """Host-side (concrete params only) check for the static specialization."""
+    """Host-side check for the static clearcoat specialization.
+
+    Contract: CONCRETE params only — deciding a compile-time specialization
+    from traced values is a bug, so a tracer raises instead of silently
+    picking a branch."""
+    import jax
     import numpy as np
 
-    try:
-        return bool(np.any(np.asarray(params.clearcoat) > 0.0))
-    except Exception:
-        return True
+    if isinstance(params.clearcoat, jax.core.Tracer):
+        raise TypeError(
+            "has_clearcoat() requires concrete clearcoat values; under a "
+            "trace, pass the clearcoat flag in explicitly as a static."
+        )
+    return bool(np.any(np.asarray(params.clearcoat) > 0.0))

@@ -24,10 +24,13 @@ class Frame(NamedTuple):
 def build_frame_polar(n: jnp.ndarray) -> Frame:
     """Deterministic ONB from a normal, polar-coordinate style.
 
-    Equivalent role to AiBuildLocalFramePolar: U points along the direction of
-    increasing theta (d n / d theta), V along increasing phi. Stable fallback
-    at the +-z poles. The exact tangent orientation only affects the phase of
-    anisotropic highlights, same as in the host renderer.
+    Matches AiBuildLocalFramePolar's tangent orientation: U points along the
+    AZIMUTHAL direction (d n / d phi, z-up), V = N x U along the polar
+    direction. Calibrated against golden 0008 (rlDisney anisotropic 1): the
+    alpha_x axis (roughness/aspect, the WIDE lobe direction) must lie along
+    the azimuth to reproduce the reference's horizontal highlight band; the
+    U=theta choice renders it rotated 90 degrees. Stable fallback at the
+    +-z poles.
     """
     x, y, z = n[..., 0], n[..., 1], n[..., 2]
     sin_theta = jnp.sqrt(jnp.maximum(x * x + y * y, 0.0))
@@ -35,10 +38,10 @@ def build_frame_polar(n: jnp.ndarray) -> Frame:
     inv = jnp.where(degenerate, 0.0, 1.0 / jnp.maximum(sin_theta, 1e-12))
     cos_phi = jnp.where(degenerate, 1.0, x * inv)
     sin_phi = jnp.where(degenerate, 0.0, y * inv)
-    # V = d n / d phi (normalized) = (-sin_phi, cos_phi, 0)
-    v = jnp.stack([-sin_phi, cos_phi, jnp.zeros_like(z)], axis=-1)
-    # U = V x N completes the right-handed frame (U, V, N)
-    u = cross(v, n)
+    # U = d n / d phi (normalized) = (-sin_phi, cos_phi, 0)
+    u = jnp.stack([-sin_phi, cos_phi, jnp.zeros_like(z)], axis=-1)
+    # V = N x U completes the right-handed frame (U x V = N)
+    v = cross(n, u)
     return Frame(u=normalize(u), v=normalize(v), n=n)
 
 

@@ -720,8 +720,15 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         m = np.asarray(n.get("matrix"), np.float32)
         radius = float(n.get("radius", 0.5))
         center = m[3, :3].copy()
-        u = m[0, :3] * radius
-        v = m[1, :3] * radius
+        # MtoA writes the light's scale INTO the matrix and mirrors it in
+        # `radius`; applying both doubles the scale (golden 0008's light has
+        # radius 1.453 AND matrix rows of length 1.453 — treating them as
+        # cumulative renders the light 4.5x too large in area and ~2x too
+        # bright). Use the matrix scale when present, else the radius.
+        row_scale = float(np.linalg.norm(m[0, :3]))
+        k = 1.0 if row_scale > 1e-6 and abs(row_scale - 1.0) > 1e-4 else radius
+        u = m[0, :3] * k
+        v = m[1, :3] * k
         nrm = -m[2, :3] / max(np.linalg.norm(m[2, :3]), 1e-20)
         area = float(np.pi * np.linalg.norm(np.cross(u, v)))
         dc.append(center); du.append(u); dv.append(v); dn.append(nrm)
