@@ -25,6 +25,30 @@ if "xla_tpu_scoped_vmem_limit_kib" not in _flags:
     _os.environ["LIBTPU_INIT_ARGS"] = (
         _flags + " --xla_tpu_scoped_vmem_limit_kib=131072"
     ).strip()
+
+# Persistent XLA compilation cache — CPU platform ONLY. On the axon TPU
+# tunnel, serializing the multi-hundred-MB Mosaic executables makes renders
+# severalfold SLOWER (measured), so the cache must stay off there. On CPU
+# (pytest, local drives) it removes repeat compiles across processes.
+# jax 0.9 does not read the env var for this knob, so set it through
+# jax.config. Opt out by setting JAX_COMPILATION_CACHE_DIR="" explicitly.
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".jax_cache",
+        ),
+    )
+    if _cache:
+        import jax as _jax
+
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        del _jax
+    del _cache
 del _os, _flags
 
 __version__ = "0.1.0"

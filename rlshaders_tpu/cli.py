@@ -145,7 +145,10 @@ def cmd_test(args):
                   f"{(wm.mean()*100 if wm is not None else 0):.1f}%) "
                   f"{dt:.1f}s  {desc}")
             if args.save:
-                exr.write_rgb(os.path.join(case_dir, "ref", "test_tpu.exr"), test)
+                # never write into the (read-only) reference suite; renders
+                # land in the repo-local out/ tree instead
+                os.makedirs("out", exist_ok=True)
+                exr.write_rgb(os.path.join("out", f"test_{case}.exr"), test)
         except Exception as e:  # noqa: BLE001
             results.append((case, desc, False, float("nan"), 0.0))
             print(f"[{case}] ERROR {type(e).__name__}: {e}")
