@@ -11,6 +11,10 @@ TPU-native rebuild of the reference's DisneySampler (src/rlDisney.cpp:105-602):
 
 Local shading frame (+z = N, +x = tangent). Directions point away from the
 surface. Functions return f*cos like the Arnold evalBrdf convention.
+
+Directions/colors are channel-split V3 triples in the hot path (see
+core/vec3.py for why: (M, 3) arrays pad 43x on TPU); every public function
+also accepts plain (..., 3) arrays and then returns arrays.
 """
 from __future__ import annotations
 
@@ -18,32 +22,31 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..core.vecmath import (
-    cosine_sample_hemisphere,
-    dot,
-    lerp,
-    luminance,
-    normalize,
-    reflect,
-    spherical_direction,
-)
-from .ggx import sample_slope
+from ..core import vec3
+from ..core.vec3 import V3, v3
+from .ggx import sample_slope  # noqa: F401  (re-export for parity tests)
 
 EPS = 1e-7
 INV_PI = 1.0 / jnp.pi
 TWO_PI = 2.0 * jnp.pi
 
 
+def _c(col) -> V3:
+    """Color field -> V3 (accepts legacy (..., 3) arrays)."""
+    return col if isinstance(col, V3) else v3(jnp.asarray(col, jnp.float32))
+
+
 class DisneyParams(NamedTuple):
     """Precomputed per-shading-point Disney parameters (ctor at
-    rlDisney.cpp:155-192). All fields broadcast over batch dims."""
+    rlDisney.cpp:155-192). All fields broadcast over batch dims; color
+    fields may be (..., 3) arrays or V3 triples."""
 
-    base_color: jnp.ndarray      # (..., 3)
+    base_color: object           # (..., 3) or V3
     roughness: jnp.ndarray       # (...,) raw artist roughness
     subsurface: jnp.ndarray
     metallic: jnp.ndarray
-    sheen_color: jnp.ndarray     # (..., 3) premultiplied by sheen weight
-    spec_f0: jnp.ndarray         # (..., 3)
+    sheen_color: object          # (..., 3) or V3, premultiplied by sheen weight
+    spec_f0: object              # (..., 3) or V3
     clearcoat: jnp.ndarray       # (...,) premultiplied by 0.25
     clearcoat_gloss: jnp.ndarray
     alpha_x: jnp.ndarray
@@ -64,9 +67,10 @@ def make_params(
     clearcoat=0.0,
     clearcoat_gloss=0.0,
 ) -> DisneyParams:
-    base_color = jnp.asarray(base_color, jnp.float32)
-    roughness = jnp.asarray(roughness, jnp.float32)
     f = lambda x: jnp.asarray(x, jnp.float32)
+    aos = not isinstance(base_color, V3)
+    base = _c(base_color)
+    roughness = f(roughness)
     subsurface, metallic, specular_tint = f(subsurface), f(metallic), f(specular_tint)
     sheen, sheen_tint, anisotropic = f(sheen), f(sheen_tint), f(anisotropic)
     clearcoat, clearcoat_gloss = f(clearcoat), f(clearcoat_gloss)
@@ -78,15 +82,18 @@ def make_params(
     alpha_x = jnp.maximum(1e-2, r2 / aspect)
     alpha_y = jnp.maximum(1e-2, r2 * aspect)
 
-    lum = luminance(base_color)
-    white = jnp.ones_like(base_color)
-    tint = jnp.where(lum[..., None] > 0.0, base_color / jnp.maximum(lum[..., None], 1e-12), white)
-    metallic_color = specular[..., None] * lerp(specular_tint[..., None], white, tint)
-    spec_f0 = lerp(metallic[..., None], metallic_color, base_color)
-    sheen_color = lerp(sheen_tint[..., None], white, tint) * sheen[..., None]
+    lum = vec3.luminance(base)
+    inv_lum = 1.0 / jnp.maximum(lum, 1e-12)
+    tint = vec3.where(lum > 0.0, base * inv_lum, 1.0)
+    # lerp(specular_tint, white, tint) then * specular
+    metallic_color = (1.0 + (tint - 1.0) * specular_tint) * specular
+    spec_f0 = metallic_color + (base - metallic_color) * metallic
+    sheen_color = (1.0 + (tint - 1.0) * sheen_tint) * sheen
 
+    if aos:
+        base, spec_f0, sheen_color = base.aos(), spec_f0.aos(), sheen_color.aos()
     return DisneyParams(
-        base_color=base_color,
+        base_color=base,
         roughness=roughness,
         subsurface=subsurface,
         metallic=metallic,
@@ -123,15 +130,16 @@ def _schlick5(x):
 
 def d_gtr1(params: DisneyParams, mdotn2) -> jnp.ndarray:
     """Clearcoat GTR1 NDF; alpha in [0.1, 0.001] by gloss (rlDisney.cpp:545-551)."""
-    alpha = lerp(params.clearcoat_gloss, 0.1, 0.001)
+    alpha = 0.1 + (0.001 - 0.1) * params.clearcoat_gloss
     a2 = alpha * alpha
     denom = jnp.log(a2) * (1.0 + (a2 - 1.0) * mdotn2)
     return (a2 - 1.0) * INV_PI / denom
 
 
 def d_gtr2_aniso(params: DisneyParams, m, mdotn2) -> jnp.ndarray:
-    hdotu, hdotv = m[..., 0], m[..., 1]
-    t = (hdotu / params.alpha_x) ** 2 + (hdotv / params.alpha_y) ** 2 + mdotn2
+    if not isinstance(m, V3):
+        m = v3(m)
+    t = (m.x / params.alpha_x) ** 2 + (m.y / params.alpha_y) ** 2 + mdotn2
     denom = params.alpha_x * params.alpha_y * t * t
     return INV_PI / jnp.maximum(denom, 1e-20)
 
@@ -143,86 +151,100 @@ def smith_g_over_2ndotv(ndotv, alpha_g) -> jnp.ndarray:
     return 1.0 / jnp.maximum(ndotv + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0)), 1e-12)
 
 
-def eval_diffuse(params: DisneyParams, wo, wi) -> jnp.ndarray:
-    """Disney diffuse + HK flat subsurface, WITHOUT cos (rlDisney.cpp:199-236).
-    Returns (..., 3)."""
-    ldotn = wi[..., 2]
-    vdotn = wo[..., 2]
-    h = normalize(wi + wo)
-    ldoth = dot(wi, h)
+def eval_diffuse(params: DisneyParams, wo, wi):
+    """Disney diffuse + HK flat subsurface, WITHOUT cos (rlDisney.cpp:199-236)."""
+    aos = not isinstance(wo, V3)
+    if aos:
+        wo, wi = v3(wo), v3(wi)
+    ldotn = wi.z
+    vdotn = wo.z
+    h = vec3.normalize(wi + wo)
+    ldoth = vec3.dot(wi, h)
     # NOTE: the reference computes 'NdotH' as dot(viewDir, H) (rlDisney.cpp:210)
     # and early-outs on it; we keep that exact gate for parity.
-    ndoth = dot(wo, h)
+    ndoth = vec3.dot(wo, h)
     valid = (ldotn > EPS) & (vdotn > EPS) & (ndoth > EPS) & (ldoth > EPS)
 
     ldoth2 = ldoth * ldoth
     fl = _schlick5(ldotn)
     fv = _schlick5(vdotn)
     f90 = 0.5 + 2.0 * params.roughness * ldoth2
-    diffuse_factor = lerp(fl, 1.0, f90) * lerp(fv, 1.0, f90)
+    diffuse_factor = (1.0 + (f90 - 1.0) * fl) * (1.0 + (f90 - 1.0) * fv)
 
     fss90 = params.roughness * ldoth2
-    fss = lerp(fl, 1.0, fss90) * lerp(fv, 1.0, fss90)
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
     ss_factor = 1.25 * (
         fss * (1.0 / jnp.maximum(ldotn + vdotn, 1e-12) - 0.5) + 0.5
     )
 
-    factor = lerp(params.subsurface, diffuse_factor, ss_factor)
-    f = params.base_color * INV_PI * factor[..., None] * (1.0 - params.metallic)[..., None]
-    return jnp.where(valid[..., None], f, 0.0)
+    factor = diffuse_factor + (ss_factor - diffuse_factor) * params.subsurface
+    scale = jnp.where(valid, INV_PI * factor * (1.0 - params.metallic), 0.0)
+    f = _c(params.base_color) * scale
+    return f.aos() if aos else f
 
 
-def eval_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
+def eval_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True):
     """Combined GTR2-aniso + clearcoat + sheen, WITHOUT cos
-    (rlDisney.cpp:318-356). Returns (..., 3). `with_clearcoat=False` is a
-    static specialization that skips the GTR1 terms (valid when every
-    shading point has clearcoat == 0)."""
-    ldotn = wi[..., 2]
-    vdotn = wo[..., 2]
-    m = normalize(wi + wo)
-    ldotm = dot(wi, m)
-    ndotm = m[..., 2]
+    (rlDisney.cpp:318-356). `with_clearcoat=False` is a static
+    specialization that skips the GTR1 terms (valid when every shading
+    point has clearcoat == 0)."""
+    aos = not isinstance(wo, V3)
+    if aos:
+        wo, wi = v3(wo), v3(wi)
+    ldotn = wi.z
+    vdotn = wo.z
+    m = vec3.normalize(wi + wo)
+    ldotm = vec3.dot(wi, m)
+    ndotm = m.z
     valid = (ldotn > EPS) & (vdotn > EPS) & (ndotm > EPS) & (ldotm > EPS)
 
     ndotm2 = ndotm * ndotm
     ds = d_gtr2_aniso(params, m, ndotm2)
     fh = _schlick5(ldotm)
-    white = jnp.ones_like(params.spec_f0)
-    fs = lerp(fh[..., None], params.spec_f0, white)
+    spec_f0 = _c(params.spec_f0)
+    fs = spec_f0 + (1.0 - spec_f0) * fh
     gs = smith_g_over_2ndotv(ldotn, params.spec_roughness) * smith_g_over_2ndotv(
         vdotn, params.spec_roughness
     )
 
-    fsheen = fh[..., None] * params.sheen_color * (1.0 - params.metallic)[..., None]
+    fsheen = _c(params.sheen_color) * (fh * (1.0 - params.metallic))
 
-    f = (ds * gs)[..., None] * fs + fsheen
+    f = fs * (ds * gs) + fsheen
     if with_clearcoat:
         clearcoat_f0 = 0.04
         clearcoat_rough = 0.25
         dr = d_gtr1(params, ndotm2)
-        fr = lerp(fh, clearcoat_f0, 1.0)
+        fr = clearcoat_f0 + (1.0 - clearcoat_f0) * fh
         gr = smith_g_over_2ndotv(ldotn, clearcoat_rough) * smith_g_over_2ndotv(
             vdotn, clearcoat_rough
         )
-        f = f + (params.clearcoat * dr * fr * gr)[..., None]
-    return jnp.where(valid[..., None], f, 0.0)
+        f = f + params.clearcoat * dr * fr * gr
+    f = vec3.where(valid, f, 0.0)
+    return f.aos() if aos else f
 
 
 # ---------------------------------------------------------------------------
 # Sampling
 # ---------------------------------------------------------------------------
 
-def sample_diffuse(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
+def sample_diffuse(params: DisneyParams, wo, rx, ry):
+    from . import orennayar
+
+    if isinstance(wo, V3):
+        return orennayar.sample_v(None, None, rx, ry)
+    from ..core.vecmath import cosine_sample_hemisphere
+
     del params, wo
     return cosine_sample_hemisphere(rx, ry)
 
 
 def pdf_diffuse(params: DisneyParams, wo, wi) -> jnp.ndarray:
     del params, wo
-    return jnp.maximum(1e-4, wi[..., 2] * INV_PI)
+    z = wi.z if isinstance(wi, V3) else wi[..., 2]
+    return jnp.maximum(1e-4, z * INV_PI)
 
 
-def _sample_gtr1(params: DisneyParams, rx, ry) -> jnp.ndarray:
+def _sample_gtr1(params: DisneyParams, rx, ry) -> V3:
     """GTR1 inverse-CDF sample (rlDisney.cpp:393-404). NOTE: the reference
     uses the RAW roughness^2 here (mRoughness is raw in that scope).
 
@@ -239,10 +261,11 @@ def _sample_gtr1(params: DisneyParams, rx, ry) -> jnp.ndarray:
         jnp.sqrt(jnp.maximum(1.0 - ry, 0.0)),
         jnp.sqrt(jnp.clip((1.0 - pow_term) / (1.0 - safe_a2), 0.0, 1.0)),
     )
-    return spherical_direction(cos_t, phi)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    return V3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
 
 
-def _sample_gtr2_aniso_vndf(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
+def _sample_gtr2_aniso_vndf(params: DisneyParams, wo: V3, rx, ry) -> V3:
     """GTR2 anisotropic visible-normal sample (rlDisney.cpp:467-502); the
     same trig-free slope-space machinery as the GGX kernel."""
     from .ggx import sample_vndf
@@ -251,16 +274,18 @@ def _sample_gtr2_aniso_vndf(params: DisneyParams, wo, rx, ry) -> jnp.ndarray:
 
 
 def sample_specular(params: DisneyParams, wo, rx, ry,
-                    with_clearcoat: bool = True) -> jnp.ndarray:
+                    with_clearcoat: bool = True):
     """Lobe-mixture specular sample (rlDisney.cpp:367-390): pick GTR2-aniso
     VNDF with weight 1/(clearcoat+1) else GTR1, reflect about the sampled
     normal. Returns the zero vector for below-horizon normals, matching the
     reference's rejection."""
+    aos = not isinstance(wo, V3)
+    if aos:
+        wo = v3(wo)
     if not with_clearcoat:
         m = _sample_gtr2_aniso_vndf(params, wo, rx, ry)
-        below = m[..., 2] < 0.0
-        wi = reflect(wo, m)
-        return jnp.where(below[..., None], 0.0, wi)
+        wi = vec3.where(m.z < 0.0, 0.0, vec3.reflect(wo, m))
+        return wi.aos() if aos else wi
     gtr2_w = 1.0 / (params.clearcoat + 1.0)
     use_gtr2 = rx < gtr2_w
     rx2 = jnp.where(
@@ -270,10 +295,9 @@ def sample_specular(params: DisneyParams, wo, rx, ry,
     )
     m2 = _sample_gtr2_aniso_vndf(params, wo, rx2, ry)
     m1 = _sample_gtr1(params, rx2, ry)
-    m = jnp.where(use_gtr2[..., None], m2, m1)
-    below = m[..., 2] < 0.0
-    wi = reflect(wo, m)
-    return jnp.where(below[..., None], 0.0, wi)
+    m = vec3.where(use_gtr2, m2, m1)
+    wi = vec3.where(m.z < 0.0, 0.0, vec3.reflect(wo, m))
+    return wi.aos() if aos else wi
 
 
 def pdf_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
@@ -286,11 +310,13 @@ def pdf_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> j
     """
     from .ggx import smith_g1_aniso
 
-    m = normalize(wi + wo)
-    idotm = jnp.abs(dot(wi, m))
-    mdotn = m[..., 2]
+    if not isinstance(wo, V3):
+        wo, wi = v3(wo), v3(wi)
+    m = vec3.normalize(wi + wo)
+    idotm = jnp.abs(vec3.dot(wi, m))
+    mdotn = m.z
     mdotn2 = mdotn * mdotn
-    vdotn = jnp.maximum(1e-4, wo[..., 2])
+    vdotn = jnp.maximum(1e-4, wo.z)
     p_gtr2 = (
         d_gtr2_aniso(params, m, mdotn2)
         * smith_g1_aniso(wo, m, params.alpha_x, params.alpha_y)
@@ -299,7 +325,7 @@ def pdf_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> j
     if with_clearcoat:
         cc_w = params.clearcoat / (params.clearcoat + 1.0)
         p_gtr1 = d_gtr1(params, mdotn2) * jnp.abs(mdotn) / jnp.maximum(idotm, 1e-12)
-        d_mix = lerp(cc_w, p_gtr2, p_gtr1)
+        d_mix = p_gtr2 + (p_gtr1 - p_gtr2) * cc_w
     else:
         d_mix = p_gtr2
     return jnp.where(mdotn < 0.0, 0.0, d_mix * 0.25)
@@ -307,12 +333,16 @@ def pdf_specular(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> j
 
 # f*cos wrappers (Arnold evalBrdf convention, rlDisney.cpp:120-137)
 
-def eval_diffuse_cos(params: DisneyParams, wo, wi) -> jnp.ndarray:
+def eval_diffuse_cos(params: DisneyParams, wo, wi):
+    if isinstance(wo, V3):
+        return eval_diffuse(params, wo, wi) * wi.z
     ndotl = wi[..., 2]
     return eval_diffuse(params, wo, wi) * ndotl[..., None]
 
 
-def eval_specular_cos(params: DisneyParams, wo, wi, with_clearcoat: bool = True) -> jnp.ndarray:
+def eval_specular_cos(params: DisneyParams, wo, wi, with_clearcoat: bool = True):
+    if isinstance(wo, V3):
+        return eval_specular(params, wo, wi, with_clearcoat) * wi.z
     ndotl = wi[..., 2]
     return eval_specular(params, wo, wi, with_clearcoat) * ndotl[..., None]
 

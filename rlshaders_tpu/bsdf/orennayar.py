@@ -7,7 +7,8 @@ reduces exactly to Lambert (1/pi), which is the configuration every testsuite
 scene uses for the plugin shaders.
 
 Local shading frame: normal = +z. `eval_*` return f*cos(theta_i) to match the
-Arnold evalBrdf convention.
+Arnold evalBrdf convention. Directions are channel-split V3 triples (see
+core/vec3.py); plain (..., 3) arrays are also accepted.
 """
 from __future__ import annotations
 
@@ -15,9 +16,11 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..core.vec3 import V3, v3
 from ..core.vecmath import cosine_sample_hemisphere
 
 INV_PI = 1.0 / jnp.pi
+TWO_PI = 2.0 * jnp.pi
 
 
 class OrenNayarParams(NamedTuple):
@@ -28,13 +31,15 @@ def make_params(roughness) -> OrenNayarParams:
     return OrenNayarParams(roughness=jnp.asarray(roughness, jnp.float32))
 
 
-def eval_brdf(params: OrenNayarParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+def eval_brdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
     """Scalar f*cos for the (albedo-free) Oren-Nayar lobe.
 
     Qualitative Oren-Nayar (Fujii single-term form): at sigma=0 -> Lambert.
     """
-    cos_i = wi[..., 2]
-    cos_o = wo[..., 2]
+    if not isinstance(wo, V3):
+        wo, wi = v3(wo), v3(wi)
+    cos_i = wi.z
+    cos_o = wo.z
     valid = (cos_i > 0.0) & (cos_o > 0.0)
 
     s2 = params.roughness * params.roughness
@@ -48,8 +53,7 @@ def eval_brdf(params: OrenNayarParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.
     sin_o = jnp.sqrt(sin_o2)
     cos_dphi = jnp.where(
         (sin_i > 1e-6) & (sin_o > 1e-6),
-        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1])
-        / jnp.maximum(sin_i * sin_o, 1e-12),
+        (wi.x * wo.x + wi.y * wo.y) / jnp.maximum(sin_i * sin_o, 1e-12),
         0.0,
     )
     cos_dphi = jnp.maximum(cos_dphi, 0.0)
@@ -63,12 +67,39 @@ def eval_brdf(params: OrenNayarParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.
     return jnp.where(valid, f * cos_i, 0.0)
 
 
-def sample(params: OrenNayarParams, wo: jnp.ndarray, rx, ry) -> jnp.ndarray:
+def sample_v(params: OrenNayarParams, wo, rx, ry) -> V3:
+    """Cosine-weighted hemisphere sample (local frame), channel-split.
+
+    Same concentric (Shirley-Chiu) square->disk map as
+    vecmath.cosine_sample_hemisphere so the stratification pattern is
+    identical to the AoS path."""
+    del params, wo
+    ox = rx * 2.0 - 1.0
+    oy = ry * 2.0 - 1.0
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    safe_ox = jnp.where(ox == 0.0, 1.0, ox)
+    safe_oy = jnp.where(oy == 0.0, 1.0, oy)
+    r = jnp.where(use_x, ox, oy)
+    phi = jnp.where(
+        use_x,
+        (jnp.pi / 4.0) * (oy / safe_ox),
+        (jnp.pi / 2.0) * (1.0 - 0.5 * ox / safe_oy),
+    )
+    degenerate = (ox == 0.0) & (oy == 0.0)
+    x = jnp.where(degenerate, 0.0, r * jnp.cos(phi))
+    y = jnp.where(degenerate, 0.0, r * jnp.sin(phi))
+    return V3(x, y, jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y)))
+
+
+def sample(params: OrenNayarParams, wo, rx, ry):
     """Cosine-weighted hemisphere sample (local frame)."""
+    if isinstance(wo, V3):
+        return sample_v(params, wo, rx, ry)
     del params, wo
     return cosine_sample_hemisphere(rx, ry)
 
 
-def pdf(params: OrenNayarParams, wo: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+def pdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
     del params, wo
-    return jnp.maximum(wi[..., 2] * INV_PI, 0.0)
+    z = wi.z if isinstance(wi, V3) else wi[..., 2]
+    return jnp.maximum(z * INV_PI, 0.0)

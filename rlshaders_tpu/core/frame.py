@@ -10,6 +10,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from . import vec3
 from .vecmath import cross, dot, normalize
 
 
@@ -19,6 +20,32 @@ class Frame(NamedTuple):
     u: jnp.ndarray
     v: jnp.ndarray
     n: jnp.ndarray
+
+
+def build_frame_polar_v(n: "vec3.V3") -> Frame:
+    """Channel-split build_frame_polar: Frame whose u/v/n are vec3.V3
+    triples of (...,) channels (TPU-hot form; see core/vec3.py)."""
+    x, y, z = n.x, n.y, n.z
+    sin_theta = jnp.sqrt(jnp.maximum(x * x + y * y, 0.0))
+    degenerate = sin_theta < 1e-6
+    inv = jnp.where(degenerate, 0.0, 1.0 / jnp.maximum(sin_theta, 1e-12))
+    cos_phi = jnp.where(degenerate, 1.0, x * inv)
+    sin_phi = jnp.where(degenerate, 0.0, y * inv)
+    u = vec3.normalize(vec3.V3(-sin_phi, cos_phi, jnp.zeros_like(z)))
+    v = vec3.normalize(vec3.cross(n, u))
+    return Frame(u=u, v=v, n=n)
+
+
+def to_local_v(frame: Frame, w: "vec3.V3") -> "vec3.V3":
+    """World -> local for V3 frames (x=U, y=V, z=N)."""
+    return vec3.V3(
+        vec3.dot(w, frame.u), vec3.dot(w, frame.v), vec3.dot(w, frame.n)
+    )
+
+
+def to_world_v(frame: Frame, w: "vec3.V3") -> "vec3.V3":
+    """Local -> world for V3 frames."""
+    return frame.u * w.x + frame.v * w.y + frame.n * w.z
 
 
 def build_frame_polar(n: jnp.ndarray) -> Frame:

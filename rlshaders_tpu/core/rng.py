@@ -47,3 +47,20 @@ def stratified2(key: jax.Array, batch_shape: tuple[int, ...], n: int) -> jnp.nda
     sy = jnp.floor(k / n)
     base = jnp.stack([sx, sy], axis=-1)  # (count, 2)
     return (base + jitter) / float(n)
+
+
+def stratified2_flat(key: jax.Array, n: int, s: int) -> jnp.ndarray:
+    """(s*s*n, 2) stratified samples in SAMPLE-MAJOR flat layout: row
+    k*n + i is element i's jittered sample in stratum (k % s, k // s).
+
+    The flat counterpart of stratified2 for the channel-split wavefront:
+    chunk k (rows [k*n, (k+1)*n)) holds every element's k-th sample, so
+    per-sample reductions are contiguous chunk sums (vec3.ksum).
+    """
+    count = s * s
+    jitter = jax.random.uniform(key, (count, n, 2), dtype=jnp.float32)
+    k = jnp.arange(count, dtype=jnp.float32)
+    sx = jnp.mod(k, s)
+    sy = jnp.floor(k / s)
+    base = jnp.stack([sx, sy], axis=-1)[:, None, :]  # (count, 1, 2)
+    return ((base + jitter) / float(s)).reshape(count * n, 2)

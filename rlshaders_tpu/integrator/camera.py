@@ -37,11 +37,16 @@ def generate(
     """All camera rays for the frame: aa_samples^2 stratified per pixel.
     One compiled program (eager per-op dispatch on the tunneled TPU costs
     ~0.2s each; this used to be ~20 eager ops)."""
+    import os as _os
+
+    # RLS_APERTURE_SCALE: DOF calibration knob (Arnold aperture_size units
+    # vs our lens-disk radius), exercised by tools/ calibration scripts.
+    ap_scale = float(_os.environ.get("RLS_APERTURE_SCALE", "1"))
     return _j_generate(
         cam.c2w, key, aa_samples=aa_samples,
         fov_deg=float(cam.fov_deg),
         focus_distance=float(cam.focus_distance),
-        aperture_size=float(cam.aperture_size),
+        aperture_size=float(cam.aperture_size) * ap_scale,
         xres=int(xres or cam.xres), yres=int(yres or cam.yres),
     )
 

@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from ..core import vec3
 from ..core.frame import build_frame_polar, to_world
 from ..core.vecmath import cosine_sample_hemisphere, dot, normalize
 
@@ -213,3 +214,139 @@ def sample_sky_batched(radiance, nf, u) -> LightSample:
         radiance=jnp.broadcast_to(radiance, wi.shape),
         pdf=pdf,
     )
+
+
+# ---------------------------------------------------------------------------
+# Channel-split FLAT samplers (the TPU-hot path): one light per call, the
+# sample axis flattened into the batch as column-major chunks of (S*N,) —
+# no rank-3 (N, L, S, 3) intermediates, which pad catastrophically on TPU
+# (see core/vec3.py). The wavefront light grid concatenates these chunks.
+# ---------------------------------------------------------------------------
+
+class LightSampleV(NamedTuple):
+    direction: "vec3.V3"    # unit, shading point -> light, (M,) channels
+    dist: jnp.ndarray       # (M,)
+    radiance: "vec3.V3"     # emitted radiance toward the point
+    pdf: jnp.ndarray        # (M,) solid-angle pdf (0 = invalid)
+
+
+def sample_quad_flat(verts_l, normal_l, area_l, radiance_l,
+                     p: "vec3.V3", u) -> LightSampleV:
+    """One quad light, flat batch. verts_l (4,3) traced slice; p V3 of
+    (M,); u (M, 2) uniforms. Same math as sample_quad."""
+    v0, e1, e2 = verts_l[0], verts_l[1] - verts_l[0], verts_l[3] - verts_l[0]
+    u1, u2 = u[..., 0], u[..., 1]
+    q = vec3.V3(
+        v0[0] + u1 * e1[0] + u2 * e2[0],
+        v0[1] + u1 * e1[1] + u2 * e2[1],
+        v0[2] + u1 * e1[2] + u2 * e2[2],
+    )
+    to_l = q - p
+    dist2 = jnp.maximum(vec3.dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l * (1.0 / dist)
+    nl = vec3.V3(normal_l[0], normal_l[1], normal_l[2])
+    cos_l = -vec3.dot(wi, nl)
+    visible = cos_l > 1e-6
+    pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * area_l, 1e-12)
+    rad = vec3.V3(radiance_l[0], radiance_l[1], radiance_l[2])
+    return LightSampleV(
+        direction=wi,
+        dist=dist,
+        radiance=vec3.where(visible, rad * jnp.ones_like(dist), 0.0),
+        pdf=jnp.where(visible, pdf, 0.0),
+    )
+
+
+def sample_disk_flat(center_l, uax_l, vax_l, normal_l, area_l, radiance_l,
+                     p: "vec3.V3", u) -> LightSampleV:
+    """One disk light, flat batch (math of sample_disk)."""
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    cu = r * jnp.cos(phi)
+    cv = r * jnp.sin(phi)
+    q = vec3.V3(
+        center_l[0] + cu * uax_l[0] + cv * vax_l[0],
+        center_l[1] + cu * uax_l[1] + cv * vax_l[1],
+        center_l[2] + cu * uax_l[2] + cv * vax_l[2],
+    )
+    to_l = q - p
+    dist2 = jnp.maximum(vec3.dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l * (1.0 / dist)
+    nl = vec3.V3(normal_l[0], normal_l[1], normal_l[2])
+    cos_l = -vec3.dot(wi, nl)
+    visible = cos_l > 1e-6
+    pdf = dist2 / jnp.maximum(jnp.abs(cos_l) * area_l, 1e-12)
+    rad = vec3.V3(radiance_l[0], radiance_l[1], radiance_l[2])
+    return LightSampleV(
+        direction=wi,
+        dist=dist,
+        radiance=vec3.where(visible, rad * jnp.ones_like(dist), 0.0),
+        pdf=jnp.where(visible, pdf, 0.0),
+    )
+
+
+def sample_sky_flat(radiance, nf: "vec3.V3", u) -> LightSampleV:
+    """Cosine-hemisphere sample about nf (V3 of (M,), pre-tiled); u (M,2)."""
+    from ..bsdf.orennayar import sample_v
+    from ..core.frame import build_frame_polar_v, to_world_v
+
+    local = sample_v(None, None, u[..., 0], u[..., 1])
+    frame = build_frame_polar_v(nf)
+    wi = to_world_v(frame, local)
+    cos_t = jnp.maximum(local.z, 0.0)
+    pdf = jnp.maximum(cos_t * INV_PI, 1e-9)
+    rad = vec3.V3(radiance[0], radiance[1], radiance[2])
+    return LightSampleV(
+        direction=wi,
+        dist=jnp.full(pdf.shape, 1e30),
+        radiance=rad * jnp.ones_like(pdf),
+        pdf=pdf,
+    )
+
+
+def intersect_quad_flat(verts_l, normal_l, p: "vec3.V3", wi: "vec3.V3"):
+    """Flat V3 ray-quad hit (math of intersect_quad). Returns (hit, t)."""
+    v0 = vec3.V3(verts_l[0, 0], verts_l[0, 1], verts_l[0, 2])
+    e1 = verts_l[1] - verts_l[0]
+    e2 = verts_l[3] - verts_l[0]
+    nl = vec3.V3(normal_l[0], normal_l[1], normal_l[2])
+    denom = vec3.dot(wi, nl)
+    t = vec3.dot(v0 - p, nl) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    q = p + wi * t - v0
+    e1v = vec3.V3(e1[0], e1[1], e1[2])
+    e2v = vec3.V3(e2[0], e2[1], e2[2])
+    len1 = jnp.maximum(jnp.dot(e1, e1), 1e-12)
+    len2 = jnp.maximum(jnp.dot(e2, e2), 1e-12)
+    a = vec3.dot(q, e1v) / len1
+    b = vec3.dot(q, e2v) / len2
+    hit = (
+        (t > 1e-4)
+        & (a >= 0.0) & (a <= 1.0)
+        & (b >= 0.0) & (b <= 1.0)
+        & (-vec3.dot(wi, nl) > 1e-6)  # emission side only
+    )
+    return hit, t
+
+
+def intersect_disk_flat(center_l, uax_l, vax_l, normal_l,
+                        p: "vec3.V3", wi: "vec3.V3"):
+    """Flat V3 ray-disk hit (math of intersect_disk). Returns (hit, t)."""
+    c = vec3.V3(center_l[0], center_l[1], center_l[2])
+    nl = vec3.V3(normal_l[0], normal_l[1], normal_l[2])
+    denom = vec3.dot(wi, nl)
+    t = vec3.dot(c - p, nl) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    q = p + wi * t - c
+    uv_ = vec3.V3(uax_l[0], uax_l[1], uax_l[2])
+    vv_ = vec3.V3(vax_l[0], vax_l[1], vax_l[2])
+    len_u = jnp.maximum(jnp.dot(uax_l, uax_l), 1e-12)
+    len_v = jnp.maximum(jnp.dot(vax_l, vax_l), 1e-12)
+    a = vec3.dot(q, uv_) / len_u
+    b = vec3.dot(q, vv_) / len_v
+    hit = (t > 1e-4) & (a * a + b * b <= 1.0) & (-vec3.dot(wi, nl) > 1e-6)
+    return hit, t
+
+
+def pdf_sky_v(n: "vec3.V3", wi: "vec3.V3") -> jnp.ndarray:
+    return jnp.maximum(vec3.dot(n, wi), 0.0) * INV_PI

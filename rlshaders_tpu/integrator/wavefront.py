@@ -40,8 +40,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import trace as tracemod
-from ..core import rng
-from ..core.frame import build_frame_polar, to_local, to_world
+from ..core import rng, vec3
+from ..core.frame import (
+    Frame,
+    build_frame_polar,
+    build_frame_polar_v,
+    to_local,
+    to_local_v,
+    to_world,
+    to_world_v,
+)
+from ..core.vec3 import V3, v3
 from ..core.vecmath import dot, normalize
 from ..models import dispatch
 from ..scene.build import (
@@ -216,142 +225,140 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     )
 
 
-def _expand(matg):
-    return jax.tree_util.tree_map(lambda a: jnp.expand_dims(a, 1), matg)
-
-
 class LightGrid(NamedTuple):
-    """The (N, K) grid of light samples for one shading batch."""
+    """The light-sample grid for one shading batch, FLAT channel-split form:
+    K columns x N rays stored column-major (column c = rows [c*N, (c+1)*N))
+    so every field is rank-1 per channel — no (N, K, 3) tensors, which pad
+    ~43x on TPU (core/vec3.py)."""
 
-    wi: jnp.ndarray       # (N, K, 3)
-    dist: jnp.ndarray     # (N, K)
-    rad: jnp.ndarray      # (N, K, 3)
-    pdf: jnp.ndarray      # (N, K)
+    wi: V3                # (K*N,) channels, shading point -> light
+    dist: jnp.ndarray     # (K*N,)
+    rad: V3               # (K*N,) channels
+    pdf: jnp.ndarray      # (K*N,)
     w_d: jnp.ndarray      # (K,) per-column diffuse weight (affect/ns)
     w_s: jnp.ndarray      # (K,)
     nl: jnp.ndarray       # (K,) sample counts for MIS
 
 
-def _light_grid(sc: DeviceScene, static: SceneStatic, surf, key,
+def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
                 camera_level) -> LightGrid:
-    n = surf.p.shape[0]
+    """Build the flat light grid: one chunk of N rows per (light, sample)
+    column, concatenated along axis 0 (column-major)."""
+    n = pv.x.shape[0]
     dirs, dists, rads, pdfs = [], [], [], []
     col_w_d, col_w_s, col_nl = [], [], []
 
+    def add(ls, k, w_d, w_s, s):
+        dirs.append(ls.direction)
+        dists.append(ls.dist)
+        rads.append(ls.radiance)
+        pdfs.append(ls.pdf)
+        col_w_d.extend([w_d / s] * k)
+        col_w_s.extend([w_s / s] * k)
+        col_nl.extend([s] * k)
+
     ql = sc.quad_lights
-    if sum(static.quad_valid):
-        lsel = [i for i, v in enumerate(static.quad_valid) if v]
-        s_per = max(static.quad_samples[i] for i in lsel) if camera_level else 1
-        s = s_per * s_per if camera_level else 1
+    for li, valid in enumerate(static.quad_valid):
+        if not valid:
+            continue
+        s_per = static.quad_samples[li] if camera_level else 1
+        s = s_per * s_per
         u = (
-            rng.stratified2(rng.fold(key, 101), (n, len(lsel)), s_per)
+            rng.stratified2_flat(rng.fold(key, 101, li), n, s_per)
             if s > 1
-            else rng.uniform2(rng.fold(key, 101), (n, len(lsel), 1))
+            else rng.uniform2(rng.fold(key, 101, li), (n,))
         )
-        idx = jnp.asarray(lsel)
-        ls = lightsmod.sample_quads_batched(
-            ql.verts[idx], ql.normal[idx], ql.area[idx], ql.radiance[idx],
-            surf.p, u,
+        ls = lightsmod.sample_quad_flat(
+            ql.verts[li], ql.normal[li], ql.area[li], ql.radiance[li],
+            vec3.tile(pv, s), u,
         )
-        k = len(lsel) * s
-        dirs.append(ls.direction.reshape(n, k, 3))
-        dists.append(ls.dist.reshape(n, k))
-        rads.append(ls.radiance.reshape(n, k, 3))
-        pdfs.append(ls.pdf.reshape(n, k))
-        for i in lsel:
-            col_w_d += [static.quad_w_d[i] / s] * s
-            col_w_s += [static.quad_w_s[i] / s] * s
-            col_nl += [s] * s
+        add(ls, s, static.quad_w_d[li], static.quad_w_s[li], s)
 
     dl = sc.disk_lights
-    if sum(static.disk_valid):
-        lsel = [i for i, v in enumerate(static.disk_valid) if v]
-        s_per = max(static.disk_samples[i] for i in lsel) if camera_level else 1
-        s = s_per * s_per if camera_level else 1
+    for li, valid in enumerate(static.disk_valid):
+        if not valid:
+            continue
+        s_per = static.disk_samples[li] if camera_level else 1
+        s = s_per * s_per
         u = (
-            rng.stratified2(rng.fold(key, 301), (n, len(lsel)), s_per)
+            rng.stratified2_flat(rng.fold(key, 301, li), n, s_per)
             if s > 1
-            else rng.uniform2(rng.fold(key, 301), (n, len(lsel), 1))
+            else rng.uniform2(rng.fold(key, 301, li), (n,))
         )
-        idx = jnp.asarray(lsel)
-        ls = lightsmod.sample_disks_batched(
-            dl.center[idx], dl.u[idx], dl.v[idx], dl.normal[idx], dl.area[idx],
-            dl.radiance[idx], surf.p, u,
+        ls = lightsmod.sample_disk_flat(
+            dl.center[li], dl.u[li], dl.v[li], dl.normal[li], dl.area[li],
+            dl.radiance[li], vec3.tile(pv, s), u,
         )
-        k = len(lsel) * s
-        dirs.append(ls.direction.reshape(n, k, 3))
-        dists.append(ls.dist.reshape(n, k))
-        rads.append(ls.radiance.reshape(n, k, 3))
-        pdfs.append(ls.pdf.reshape(n, k))
-        for i in lsel:
-            col_w_d += [static.disk_w_d[i] / s] * s
-            col_w_s += [static.disk_w_s[i] / s] * s
-            col_nl += [s] * s
+        add(ls, s, static.disk_w_d[li], static.disk_w_s[li], s)
 
     if static.sky_exists:
         s = max(static.sky_samples, 1) if camera_level else 1
-        u = rng.uniform2(rng.fold(key, 501), (n, 1, s))
-        ls = lightsmod.sample_sky_batched(sc.sky_radiance, surf.nf, u)
-        dirs.append(ls.direction.reshape(n, s, 3))
-        dists.append(ls.dist.reshape(n, s))
-        rads.append(ls.radiance.reshape(n, s, 3))
-        pdfs.append(ls.pdf.reshape(n, s))
-        col_w_d += [static.sky_w_d / s] * s
-        col_w_s += [static.sky_w_s / s] * s
-        col_nl += [s] * s
+        u = rng.uniform2(rng.fold(key, 501), (s * n,))
+        ls = lightsmod.sample_sky_flat(sc.sky_radiance, vec3.tile(nfv, s), u)
+        add(ls, s, static.sky_w_d, static.sky_w_s, s)
 
+    cat = jnp.concatenate
     return LightGrid(
-        wi=jnp.concatenate(dirs, axis=1),
-        dist=jnp.concatenate(dists, axis=1),
-        rad=jnp.concatenate(rads, axis=1),
-        pdf=jnp.concatenate(pdfs, axis=1),
+        wi=V3(cat([d.x for d in dirs]), cat([d.y for d in dirs]),
+              cat([d.z for d in dirs])),
+        dist=cat(dists),
+        rad=V3(cat([r.x for r in rads]), cat([r.y for r in rads]),
+               cat([r.z for r in rads])),
+        pdf=cat(pdfs),
         w_d=jnp.asarray(col_w_d, jnp.float32),
         w_s=jnp.asarray(col_w_s, jnp.float32),
         nl=jnp.asarray(col_nl, jnp.float32),
     )
 
 
-def _direct_reduce(matg, frame, wo_local, grid: LightGrid, transmission,
+def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
                    nb_diffuse, nb_glossy):
-    """MIS-weighted reduction of the light grid -> (diffuse, specular).
+    """MIS-weighted reduction of the flat light grid -> (diffuse V3,
+    specular V3), both (N,) channels.
 
     nb_* are the BSDF-strategy sample counts competing in the MIS. At
     secondary hits no BSDF rays are spawned, so callers pass 0 and the light
     strategy takes full weight — otherwise the BSDF-weighted share of the
     energy would be silently dropped.
     """
-    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-    wi_l = to_local(frame_b, grid.wi)
-    matg_b = _expand(matg)
-    wo_b = wo_local[:, None, :]
-    fd, pd = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
-    fs, ps = dispatch.eval_specular(matg_b, wo_b, wi_l)
+    n = wo_local.x.shape[0]
+    k = grid.pdf.shape[0] // n
+    frame_k = Frame(
+        u=vec3.tile(frame.u, k), v=vec3.tile(frame.v, k),
+        n=vec3.tile(frame.n, k),
+    )
+    wi_l = to_local_v(frame_k, grid.wi)
+    matv_k = dispatch.tile_v(matv, k)
+    wo_k = vec3.tile(wo_local, k)
+    fd, pd = dispatch.eval_diffuse(matv_k, wo_k, wi_l)
+    fs, ps = dispatch.eval_specular(matv_k, wo_k, wi_l)
 
     live = grid.pdf > 0.0
-    # transmission is per-channel (N, K, 3): colored Kt shadows (reference
+    # transmission is a per-channel V3: colored Kt shadows (reference
     # out_opacity = 1 - Kt*KtColor, rlGgx.cpp:264-268) attenuate per RGB.
-    inv_pdf = jnp.where(
-        live[..., None],
-        transmission / jnp.maximum(grid.pdf, 1e-12)[..., None],
-        0.0,
-    )
+    inv_pdf = jnp.where(live, 1.0 / jnp.maximum(grid.pdf, 1e-12), 0.0)
+    trans_ip = transmission * inv_pdf
+    nl_r = jnp.repeat(grid.nl, n)
+    w_d_r = jnp.repeat(grid.w_d, n)
+    w_s_r = jnp.repeat(grid.w_s, n)
     wl_d = (
-        lightsmod.mis_weight(grid.nl * grid.pdf, nb_diffuse * pd)
-        if nb_diffuse > 0 else jnp.ones_like(pd)
+        lightsmod.mis_weight(nl_r * grid.pdf, nb_diffuse * pd)
+        if nb_diffuse > 0 else 1.0
     )
     wl_s = (
-        lightsmod.mis_weight(grid.nl * grid.pdf, nb_glossy * ps)
-        if nb_glossy > 0 else jnp.ones_like(ps)
+        lightsmod.mis_weight(nl_r * grid.pdf, nb_glossy * ps)
+        if nb_glossy > 0 else 1.0
     )
-    diffuse = jnp.sum(grid.rad * inv_pdf * (wl_d * grid.w_d)[..., None] * fd, axis=1)
-    specular = jnp.sum(grid.rad * inv_pdf * (wl_s * grid.w_s)[..., None] * fs, axis=1)
+    diffuse = vec3.ksum(grid.rad * trans_ip * (wl_d * w_d_r) * fd, k)
+    specular = vec3.ksum(grid.rad * trans_ip * (wl_s * w_s_r) * fs, k)
     return diffuse, specular
 
 
-def _light_pickup(sc, static, o, d, scene_t, lobe_pdf, nb, camera_level,
-                  lobe="specular"):
-    n = o.shape[0]
-    out = jnp.zeros((n, 3))
+def _light_pickup(sc, static, o: V3, d: V3, scene_t, lobe_pdf, nb,
+                  camera_level, lobe="specular") -> V3:
+    """Analytic BSDF-ray emission pickup over the area lights (V3 flat)."""
+    zero = jnp.zeros_like(lobe_pdf)
+    out = V3(zero, zero, zero)
     ql = sc.quad_lights
     for li in range(len(static.quad_valid)):
         if not static.quad_valid[li]:
@@ -360,13 +367,14 @@ def _light_pickup(sc, static, o, d, scene_t, lobe_pdf, nb, camera_level,
         if fac == 0.0:
             continue
         nl = static.quad_samples[li] ** 2 if camera_level else 1
-        hit, t = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], o, d)
+        hit, t = lightsmod.intersect_quad_flat(ql.verts[li], ql.normal[li], o, d)
         vis = hit & (t < scene_t)
-        p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li], o, d, t)
+        nlv = ql.normal[li]
+        cos_l = jnp.abs(vec3.dot(d, V3(nlv[0], nlv[1], nlv[2])))
+        p_l = (t * t) / jnp.maximum(cos_l * ql.area[li], 1e-12)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
-        out = out + jnp.where(
-            vis[..., None], ql.radiance[li] * (fac * w)[..., None], 0.0
-        )
+        rad = ql.radiance[li]
+        out = out + V3(rad[0], rad[1], rad[2]) * jnp.where(vis, fac * w, 0.0)
     dl = sc.disk_lights
     for li in range(len(static.disk_valid)):
         if not static.disk_valid[li]:
@@ -375,29 +383,31 @@ def _light_pickup(sc, static, o, d, scene_t, lobe_pdf, nb, camera_level,
         if fac == 0.0:
             continue
         nl = static.disk_samples[li] ** 2 if camera_level else 1
-        hit, t = lightsmod.intersect_disk(
+        hit, t = lightsmod.intersect_disk_flat(
             dl.center[li], dl.u[li], dl.v[li], dl.normal[li], o, d
         )
         vis = hit & (t < scene_t)
-        cos_l = jnp.abs(dot(-d, dl.normal[li]))
+        nlv = dl.normal[li]
+        cos_l = jnp.abs(vec3.dot(d, V3(nlv[0], nlv[1], nlv[2])))
         p_l = (t * t) / jnp.maximum(cos_l * dl.area[li], 1e-12)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
-        out = out + jnp.where(
-            vis[..., None], dl.radiance[li] * (fac * w)[..., None], 0.0
-        )
+        rad = dl.radiance[li]
+        out = out + V3(rad[0], rad[1], rad[2]) * jnp.where(vis, fac * w, 0.0)
     return out
 
 
-def _sky_pickup(sc, static, nf_at_origin, d, miss, lobe_pdf, nb,
-                lobe="specular"):
+def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, miss, lobe_pdf, nb,
+                lobe="specular") -> V3:
+    zero = jnp.zeros_like(lobe_pdf)
     if not static.sky_exists:
-        return jnp.zeros(d.shape)
+        return V3(zero, zero, zero)
     fac = static.sky_w_d if lobe == "diffuse" else static.sky_w_s
     if fac == 0.0:
-        return jnp.zeros(d.shape)
-    p_l = lightsmod.pdf_sky(nf_at_origin, d)
+        return V3(zero, zero, zero)
+    p_l = lightsmod.pdf_sky_v(nf_at_origin, d)
     w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
-    return jnp.where(miss[..., None], sc.sky_radiance * (fac * w)[..., None], 0.0)
+    sky = sc.sky_radiance
+    return V3(sky[0], sky[1], sky[2]) * jnp.where(miss, fac * w, 0.0)
 
 
 def _quad_lobe_factor(static, li, lobe):
@@ -411,9 +421,9 @@ def _disk_lobe_factor(static, li, lobe):
     return static.disk_w_d[li] if lobe == "diffuse" else static.disk_w_s[li]
 
 
-def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
-    """Per-channel shadow transmission along the segments, (N, 3);
-    1 = fully visible.
+def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
+    """Per-channel shadow transmission along the segments as a V3 of (N,)
+    channels; 1 = fully visible. Ray arrays stay AoS (Pallas boundary).
 
     Scenes with transmissive/transparent materials (rlGgx Kt shadows,
     rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
@@ -426,11 +436,11 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
             sc.accel, sc.geometry, o, d, tmax,
             vis_mask=VIS_SHADOW, exclude_tri=ex,
         )
-        return jnp.broadcast_to(
-            (~blocked).astype(jnp.float32)[..., None], (o.shape[0], 3)
-        )
+        vis = (~blocked).astype(jnp.float32)
+        return V3(vis, vis, vis)
     mats = sc.materials
-    atten = jnp.ones((o.shape[0], 3), jnp.float32)
+    one = jnp.ones(o.shape[0], jnp.float32)
+    atten = V3(one, one, one)
     origin = o
     remaining = tmax
     exclude = ex
@@ -442,11 +452,12 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
         ok = (hit.tri >= 0) & (hit.t < remaining)
         tri = jnp.maximum(hit.tri, 0)
         mid = sc.geometry.mat_id[tri]
-        kt = mats.kt[mid][..., None] * mats.kt_color[mid]
-        op = mats.opacity[mid]
+        kt = v3(mats.kt_color[mid]) * mats.kt[mid]
+        op = v3(mats.opacity[mid])
         # shadow transmission: Kt color for transmissive, else 1-opacity
-        trans = jnp.clip(jnp.maximum(kt, 1.0 - op), 0.0, 1.0)
-        atten = atten * jnp.where(ok[..., None], trans, 1.0)
+        # (per-channel max, matching the AoS jnp.maximum semantics)
+        trans = vec3.clip(vec3.vmax(kt, 1.0 - op), 0.0, 1.0)
+        atten = atten * vec3.where(ok, trans, 1.0)
         step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
         origin = origin + d * step[..., None]
         remaining = remaining - step
@@ -460,86 +471,92 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh):
 # shared across tiles, renders, TileRenderer instances and same-shape scenes)
 # ---------------------------------------------------------------------------
 
-def _spawn(sc, static, surf, matg, frame, wo, key, lobe, nb):
-    """BSDF-sample nb rays per hit for one lobe; returns flat rays +
-    per-sample weights/pdfs (ray-major layout)."""
-    n = surf.p.shape[0]
-    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
-    matg_b = _expand(matg)
-    wo_b = wo[:, None, :]
-    if lobe == "diffuse":
-        wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0], u[..., 1])
-        f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
-        active = matg.has_diffuse
-        if static.has_skin:
-            active = active & (matg.mtype != MAT_SKIN)
-    else:
-        wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0], u[..., 1])
-        f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
-        active = matg.has_spec
-    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-    wi_w = to_world(frame_b, wi_l)
-    ok = (
-        active[:, None] & surf.valid[:, None]
-        & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
-        & (wo[..., 2:3] > 1e-4)  # grazing-config guard (see _spec_direct_t)
+def _tile_frame(frame: Frame, k: int) -> Frame:
+    return Frame(
+        u=vec3.tile(frame.u, k), v=vec3.tile(frame.v, k),
+        n=vec3.tile(frame.n, k),
     )
-    w = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
-    o_flat = jnp.repeat(surf.p, nb, axis=0)
-    d_flat = wi_w.reshape(-1, 3)
-    return o_flat + d_flat * RAY_EPS, d_flat, w, jnp.where(ok, pdf, 0.0), ok
 
 
-def _spec_direct_t(sc, static, surf, matg, frame, wo, key, lobes):
+def _spawn(sc, static, surf, pv, matv, frame, wo, key, lobe, nb):
+    """BSDF-sample nb rays per hit for one lobe; returns flat V3 rays +
+    per-sample weights/pdfs in SAMPLE-MAJOR chunks (sample s = rows
+    [s*N, (s+1)*N), matching vec3.tile/ksum)."""
+    n = pv.x.shape[0]
+    u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
+    matv_b = dispatch.tile_v(matv, nb)
+    wo_b = vec3.tile(wo, nb)
+    if lobe == "diffuse":
+        wi_l = dispatch.sample_diffuse(matv_b, wo_b, u[:, 0], u[:, 1])
+        f, pdf = dispatch.eval_diffuse(matv_b, wo_b, wi_l)
+        active = matv.has_diffuse
+        if static.has_skin:
+            active = active & (matv.mtype != MAT_SKIN)
+    else:
+        wi_l = dispatch.sample_specular(matv_b, wo_b, u[:, 0], u[:, 1])
+        f, pdf = dispatch.eval_specular(matv_b, wo_b, wi_l)
+        active = matv.has_spec
+    frame_b = _tile_frame(frame, nb)
+    wi_w = to_world_v(frame_b, wi_l)
+    ok = (
+        jnp.tile(active & surf.valid, nb)
+        & (wi_l.z > 1e-5) & (pdf > 1e-9)
+        & (wo_b.z > 1e-4)  # grazing-config guard (see _spec_direct_t)
+    )
+    w = vec3.where(ok, f / jnp.maximum(pdf, 1e-9), 0.0)
+    o = vec3.tile(pv, nb) + wi_w * RAY_EPS
+    return o, wi_w, w, jnp.where(ok, pdf, 0.0), ok
+
+
+def _spec_direct_t(sc, static, surf, pv, matv, frame, wo, key, lobes) -> V3:
     """Fused BSDF half of the secondary-hit direct lighting for `lobes`:
     one lobe sample per hit, analytic nearest-light emission, occlusion
     (Pallas) — the 1-sample fallback when a lobe's GI depth is exhausted."""
-    n = surf.p.shape[0]
-    out = jnp.zeros((n, 3))
+    n = pv.x.shape[0]
+    zero = jnp.zeros((n,), jnp.float32)
+    out = V3(zero, zero, zero)
     for i, lobe in enumerate(("specular", "diffuse")):
         if lobe not in lobes:
             continue
-        u = rng.uniform2(rng.fold(key, 4242 + i), (n, 1))[:, 0]
-        matg_b = _expand(matg)
-        wo_b = wo[:, None, :]
+        u = rng.uniform2(rng.fold(key, 4242 + i), (n,))
         if lobe == "specular":
-            wi_l = dispatch.sample_specular(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
-            f, pdf = dispatch.eval_specular(matg_b, wo_b, wi_l)
-            active = matg.has_spec
+            wi_l = dispatch.sample_specular(matv, wo, u[:, 0], u[:, 1])
+            f, pdf = dispatch.eval_specular(matv, wo, wi_l)
+            active = matv.has_spec
         else:
-            wi_l = dispatch.sample_diffuse(matg_b, wo_b, u[..., 0:1], u[..., 1:2])
-            f, pdf = dispatch.eval_diffuse(matg_b, wo_b, wi_l)
-            active = matg.has_diffuse
-        wi_l = wi_l[:, 0]
-        f = f[:, 0]
-        pdf = pdf[:, 0]
-        wi_w = to_world(frame, wi_l)
+            wi_l = dispatch.sample_diffuse(matv, wo, u[:, 0], u[:, 1])
+            f, pdf = dispatch.eval_diffuse(matv, wo, wi_l)
+            active = matv.has_diffuse
+        wi_w = to_world_v(frame, wi_l)
         # wo.z > 1e-4 guards silhouette-grazing configs where the Disney
         # pdf's max(1e-4, VdotN) clamp (rlDisney.cpp:535) diverges from the
         # eval and f/pdf explodes (observed 7e4 fireflies)
         ok = (
-            active & surf.valid & (wi_l[..., 2] > 1e-5) & (pdf > 1e-9)
-            & (wo[..., 2] > 1e-4)
+            active & surf.valid & (wi_l.z > 1e-5) & (pdf > 1e-9)
+            & (wo.z > 1e-4)
         )
         # analytic emission of the NEAREST light along the lobe sample,
         # MIS vs the 1-sample light strategy; keep its distance so the
         # shadow query stops at the light (side walls sit just behind the
         # side lights in the shared scene)
-        emit = jnp.zeros((n, 3))
+        emit = V3(zero, zero, zero)
         t_light = jnp.full((n,), 1e30)
         ql = sc.quad_lights
         for li in range(len(static.quad_valid)):
             if not static.quad_valid[li]:
                 continue
             fac = _quad_lobe_factor(static, li, lobe)
-            hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li],
-                                              surf.p, wi_w)
-            p_l = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
-                                     surf.p, wi_w, tq)
+            hq, tq = lightsmod.intersect_quad_flat(
+                ql.verts[li], ql.normal[li], pv, wi_w
+            )
+            nlv = ql.normal[li]
+            cos_l = jnp.abs(vec3.dot(wi_w, V3(nlv[0], nlv[1], nlv[2])))
+            p_l = (tq * tq) / jnp.maximum(cos_l * ql.area[li], 1e-12)
             w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
             take = hq & (tq < t_light)
-            emit = jnp.where(
-                take[..., None], ql.radiance[li] * (fac * w_b)[..., None], emit
+            rad = ql.radiance[li]
+            emit = vec3.where(
+                take, V3(rad[0], rad[1], rad[2]) * (fac * w_b), emit
             )
             t_light = jnp.where(take, tq, t_light)
         dl = sc.disk_lights
@@ -547,26 +564,28 @@ def _spec_direct_t(sc, static, surf, matg, frame, wo, key, lobes):
             if not static.disk_valid[li]:
                 continue
             fac = _disk_lobe_factor(static, li, lobe)
-            hq, tq = lightsmod.intersect_disk(
-                dl.center[li], dl.u[li], dl.v[li], dl.normal[li], surf.p, wi_w
+            hq, tq = lightsmod.intersect_disk_flat(
+                dl.center[li], dl.u[li], dl.v[li], dl.normal[li], pv, wi_w
             )
-            cos_l = jnp.abs(dot(-wi_w, dl.normal[li]))
+            nlv = dl.normal[li]
+            cos_l = jnp.abs(vec3.dot(wi_w, V3(nlv[0], nlv[1], nlv[2])))
             p_l = (tq * tq) / jnp.maximum(cos_l * dl.area[li], 1e-12)
             w_b = lightsmod.mis_weight(1.0 * pdf, 1.0 * p_l)
             take = hq & (tq < t_light)
-            emit = jnp.where(
-                take[..., None], dl.radiance[li] * (fac * w_b)[..., None], emit
+            rad = dl.radiance[li]
+            emit = vec3.where(
+                take, V3(rad[0], rad[1], rad[2]) * (fac * w_b), emit
             )
             t_light = jnp.where(take, tq, t_light)
-        w_over_pdf = jnp.where(ok[..., None], f / pdf[..., None], 0.0)
-        any_emit = jnp.max(emit, axis=-1) > 0.0
+        w_over_pdf = vec3.where(ok, f / jnp.maximum(pdf, 1e-9), 0.0)
+        any_emit = vec3.maxc(emit) > 0.0
         blocked = tracemod.occluded(
-            sc.accel, sc.geometry, surf.p + wi_w * RAY_EPS, wi_w,
+            sc.accel, sc.geometry, (pv + wi_w * RAY_EPS).aos(), wi_w.aos(),
             jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
             vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
         )
         lit = ok & any_emit & ~blocked
-        out = out + jnp.where(lit[..., None], w_over_pdf * emit, 0.0)
+        out = out + vec3.where(lit, w_over_pdf * emit, 0.0)
     return out
 
 
@@ -629,21 +648,22 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         sc.materials, sc.textures, surf.mat_id, surf.uv,
         surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
     )
-    frame = build_frame_polar(surf.nf)
-    wo = to_local(frame, -d)
-    grid = _light_grid(sc, static, surf, key, camera_level)
-    nn, k = grid.pdf.shape
-    sh_o = jnp.broadcast_to(surf.p[:, None, :], (nn, k, 3)).reshape(-1, 3)
-    sh_d = grid.wi.reshape(-1, 3)
-    sh_t = grid.dist.reshape(-1)
-    sh_ex = jnp.broadcast_to(surf.tri[:, None], (nn, k)).reshape(-1)
-    shadowed = _shadow_transmission(
-        sc, static, (sh_o + sh_d * RAY_EPS, sh_d, sh_t - 2 * RAY_EPS, sh_ex)
-    ).reshape(nn, k, 3)
+    matv = dispatch.to_v(matg)
+    pv = v3(surf.p)
+    nfv = v3(surf.nf)
+    frame = build_frame_polar_v(nfv)
+    wo = to_local_v(frame, -v3(d))
+    grid = _light_grid(sc, static, pv, nfv, key, camera_level)
+    k = grid.pdf.shape[0] // n
+    sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
+    sh_d = grid.wi.aos()
+    sh_t = grid.dist - 2 * RAY_EPS
+    sh_ex = jnp.tile(surf.tri, k)
+    shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
     # receive_shadows off (the shared scene's side walls, test_geo.ass:214):
     # the surface is lit as if unoccluded
-    rcv = sc.geometry.receive_shadows[jnp.maximum(tri, 0)]
-    shadowed = jnp.where(rcv[:, None, None], shadowed, 1.0)
+    rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
+    shadowed = vec3.where(rcv, shadowed, 1.0)
 
     # At the camera level the BSDF strategies are the spawned indirect ray
     # families; at secondary hits both lobes MIS against the 1-sample BSDF
@@ -651,133 +671,139 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     # reference's AiEvaluateLightSample always runs both strategies.
     nb_d = static.nb_d if camera_level else 1
     nb_g = static.nb_g if camera_level else 1
-    diffuse, specular = _direct_reduce(matg, frame, wo, grid, shadowed,
+    diffuse, specular = _direct_reduce(matv, frame, wo, grid, shadowed,
                                        nb_d, nb_g)
     if camera_level and static.has_skin:
         # skin diffuse at camera level is replaced by the SSS probe stage
-        diffuse = jnp.where((matg.mtype == MAT_SKIN)[..., None], 0.0, diffuse)
+        diffuse = vec3.where(matv.mtype == MAT_SKIN, 0.0, diffuse)
     if indirect_scaled:
-        is_dsy = (matg.mtype == MAT_DISNEY)[..., None]
-        diffuse = jnp.where(
-            is_dsy, diffuse * matg.indirect_diffuse_scale[..., None], diffuse
+        is_dsy = matv.mtype == MAT_DISNEY
+        diffuse = vec3.where(
+            is_dsy, diffuse * matv.indirect_diffuse_scale, diffuse
         )
-        specular = jnp.where(
-            is_dsy, specular * matg.indirect_specular_scale[..., None], specular
+        specular = vec3.where(
+            is_dsy, specular * matv.indirect_specular_scale, specular
         )
-    radiance = diffuse + specular + matg.emission
-    valid3 = surf.valid[..., None]
+    radiance = diffuse + specular + matv.emission
+    valid = surf.valid
     return (
-        surf, matg, frame, wo,
-        jnp.where(valid3, radiance, 0.0),
-        jnp.where(valid3, diffuse, 0.0),
-        jnp.where(valid3, specular, 0.0),
+        surf, matg, matv, pv, nfv, frame, wo,
+        vec3.where(valid, radiance, 0.0),
+        vec3.where(valid, diffuse, 0.0),
+        vec3.where(valid, specular, 0.0),
         (t, tri, uu, vv),
     )
 
 
-def _family_t(sc, static, conf, surf, matg, frame, wo, key, lobe, nb,
-              cam_pickup):
-    """Spawn + trace + analytic light/sky pickup for one lobe family."""
-    o1, d1, w1, pdf1, ok1 = _spawn(sc, static, surf, matg, frame, wo, key,
-                                   lobe, nb)
+def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
+              nb, cam_pickup):
+    """Spawn + trace + analytic light/sky pickup for one lobe family.
+    Returns AoS ray arrays (trace boundary) + V3 weights/pickup."""
+    oV, dV, w1, pdf1, ok1 = _spawn(sc, static, surf, pv, matv, frame, wo,
+                                   key, lobe, nb)
     vis = VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY
+    o1 = oV.aos()
+    d1 = dV.aos()
     hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1, vis_mask=vis)
     scene_t = jnp.where(hit.tri >= 0, hit.t, 1e30)
-    lobe_pdf = pdf1.reshape(-1)
-    nf_rep = jnp.repeat(surf.nf, nb, axis=0)
-    pick = _light_pickup(sc, static, o1, d1, scene_t, lobe_pdf, nb,
+    nf_rep = vec3.tile(nfv, nb)
+    pick = _light_pickup(sc, static, oV, dV, scene_t, pdf1, nb,
                          cam_pickup, lobe=lobe)
-    pick = pick + _sky_pickup(sc, static, nf_rep, d1, hit.tri < 0, lobe_pdf,
+    pick = pick + _sky_pickup(sc, static, nf_rep, dV, hit.tri < 0, pdf1,
                               nb, lobe=lobe)
     return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
 
 
-def _refr_t(sc, static, conf, surf, matg, frame, wo, key, nb):
-    """Rough-refraction spawn (Walter Eq.41 weights) + trace."""
-    n = surf.p.shape[0]
-    u = rng.stratified2(key, (n,), int(np.sqrt(nb)))
-    matg_b = _expand(matg)
-    wo_b = wo[:, None, :]
-    wi_l, wgt = dispatch.sample_refract(matg_b, wo_b, u[..., 0], u[..., 1])
-    ok = surf.valid[:, None] & matg.has_refract[:, None]
-    ok = jnp.broadcast_to(ok, wi_l.shape[:2])
-    frame_b = jax.tree_util.tree_map(lambda a: a[:, None, :], frame)
-    wi_w = to_world(frame_b, wi_l)
-    o_flat = jnp.repeat(surf.p, nb, axis=0)
-    d_flat = wi_w.reshape(-1, 3)
-    o1 = o_flat + d_flat * RAY_EPS
-    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d_flat,
+def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb):
+    """Rough-refraction spawn (Walter Eq.41 weights) + trace. Sample-major
+    flat layout like _spawn."""
+    n = pv.x.shape[0]
+    u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
+    matv_b = dispatch.tile_v(matv, nb)
+    wo_b = vec3.tile(wo, nb)
+    wi_l, wgt = dispatch.sample_refract(matv_b, wo_b, u[:, 0], u[:, 1])
+    ok = jnp.tile(surf.valid & matv.has_refract, nb)
+    frame_b = _tile_frame(frame, nb)
+    wi_w = to_world_v(frame_b, wi_l)
+    o1 = (vec3.tile(pv, nb) + wi_w * RAY_EPS).aos()
+    d1 = wi_w.aos()
+    hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1,
                            vis_mask=VIS_REFRACTED)
     return (
-        o1, d_flat, jnp.where(ok[..., None], wgt, 0.0), ok,
+        o1, d1, vec3.where(ok, wgt, 0.0), ok,
         (hit.t, hit.tri, hit.u, hit.v),
     )
 
 
-def _lobe_family_full(sc, static, conf, surf, matg, frame, wo, key, lobe, nb,
-                      rr, indirect_scaled, cam_pickup=False, scale=None):
+def _lobe_family_full(sc, static, conf, surf, pv, nfv, matv, frame, wo, key,
+                      lobe, nb, rr, indirect_scaled, cam_pickup=False,
+                      scale=None) -> V3:
     """Family + one-deeper recursion. At secondary hits the deeper surface
     radiance counts only for `standard`-shader materials: the reference
     plugins integrate indirect at CAMERA hits only (rlGgx.cpp:307-323
     `sg->Rt & AI_RAY_CAMERA`), while Arnold's own standard shader recurses
     to the GI_*_depth gates."""
-    n = surf.p.shape[0]
+    n = pv.x.shape[0]
     o1, d1, w1, pick, tp1 = _family_t(
-        sc, static, conf, surf, matg, frame, wo, key, lobe, nb, cam_pickup
+        sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe, nb,
+        cam_pickup,
     )
     if lobe == "diffuse":
         spread1 = jnp.full((n * nb,), 1.0, jnp.float32)
     else:
-        spread1 = jnp.repeat(
-            jnp.maximum(matg.ggx.alpha_g, conf.pix_spread), nb, axis=0
+        spread1 = jnp.tile(
+            jnp.maximum(matv.ggx.alpha_g, conf.pix_spread), nb
         )
     _, sub_rgb, _, _ = _shade_generation_t(
         sc, static, conf, o1, d1, rng.fold(key, 7),
         VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY,
         camera_level=False, indirect_scaled=indirect_scaled,
         is_refraction=False, rr=rr, ray_lobe=lobe,
-        base_fp=jnp.repeat(surf.fp, nb, axis=0), spread=spread1,
+        base_fp=jnp.tile(surf.fp, nb), spread=spread1,
         trace_pack=tp1,
     )
     if cam_pickup:
         sub = pick + sub_rgb
     else:
-        is_std = jnp.repeat(matg.mtype == MAT_STANDARD, nb, axis=0)
-        sub = pick + jnp.where(is_std[..., None], sub_rgb, 0.0)
-    out = (w1 * sub.reshape(n, nb, 3)).mean(axis=1)
+        is_std = jnp.tile(matv.mtype == MAT_STANDARD, nb)
+        sub = pick + vec3.where(is_std, sub_rgb, 0.0)
+    out = vec3.kmean(w1 * sub, nb)
     if scale is not None:
-        out = out * scale[..., None]
+        out = out * scale
     return out
 
 
-def _secondary_indirect_t(sc, static, conf, surf, matg, frame, wo, key,
-                          ray_lobe, rr, indirect_scaled):
+def _secondary_indirect_t(sc, static, conf, surf, pv, nfv, matv, frame, wo,
+                          key, ray_lobe, rr, indirect_scaled) -> V3:
     """Indirect + BSDF-direct at a secondary hit, honoring the GI depth
     gates (GI_diffuse/glossy_depth continuation, GI_total_depth cap;
     rlGgx.cpp:151-154). Depth-exhausted lobes keep the 1-sample pickup."""
     rd, rg, rrf, rt = rr
-    out = jnp.zeros_like(surf.p)
+    zero = jnp.zeros_like(pv.x)
+    out = V3(zero, zero, zero)
     fallback = []
     # glossy continuation never spawns from diffuse rays (the standard
     # shader's enable_glossy_caustics off, test_geo.ass)
     if (ray_lobe != "diffuse" and rg < conf.gi_glossy_depth
             and rt < conf.gi_total_depth):
         out = out + _lobe_family_full(
-            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 62),
+            sc, static, conf, surf, pv, nfv, matv, frame, wo,
+            rng.fold(key, 62),
             "specular", 1, (rd, rg + 1, rrf, rt + 1), indirect_scaled,
         )
     else:
         fallback.append("specular")
     if rd < conf.gi_diffuse_depth and rt < conf.gi_total_depth:
         out = out + _lobe_family_full(
-            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 61),
+            sc, static, conf, surf, pv, nfv, matv, frame, wo,
+            rng.fold(key, 61),
             "diffuse", 1, (rd + 1, rg, rrf, rt + 1), indirect_scaled,
         )
     else:
         fallback.append("diffuse")
     if fallback and (sum(static.quad_valid) or sum(static.disk_valid)):
         out = out + _spec_direct_t(
-            sc, static, surf, matg, frame, wo, key, tuple(fallback)
+            sc, static, surf, pv, matv, frame, wo, key, tuple(fallback)
         )
     return out
 
@@ -791,15 +817,17 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
     counters AT this hit (the shader-globals depth fields the reference
     gates on, rlGgx.cpp:151-154); recursion unrolls statically, bounded by
     the GI_*_depth options."""
-    surf, matg, frame, wo, rgb, aov_d, aov_s, tp = _gen_shade_t(
-        sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
-        base_fp, spread, trace_pack,
+    surf, matg, matv, pv, nfv, frame, wo, rgb, aov_d, aov_s, tp = (
+        _gen_shade_t(
+            sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
+            base_fp, spread, trace_pack,
+        )
     )
     tri = tp[1]
     if not camera_level:
         rgb = rgb + _secondary_indirect_t(
-            sc, static, conf, surf, matg, frame, wo, key, ray_lobe, rr,
-            indirect_scaled,
+            sc, static, conf, surf, pv, nfv, matv, frame, wo, key, ray_lobe,
+            rr, indirect_scaled,
         )
         # rlSkin evaluates the BSSRDF whenever the shader runs on a
         # non-diffuse ray (rlSss.h:170-199) — glossy/refraction re-entry
@@ -810,24 +838,22 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
             from . import sss as sssmod
 
             is_sss = (matg.sss_weight > 1e-5) & surf.valid
-            rgb = rgb + sssmod.sss_eval(
+            rgb = rgb + v3(sssmod.sss_eval(
                 sc, static,
                 sssmod.SSS_FIELDS(surf, matg, is_sss), rng.fold(key, 5),
                 n_sss=1, gi_diffuse=conf.gi_diffuse_depth,
-            )
-    if is_refraction:
-        miss_rgb = jnp.where(
-            (tri < 0)[..., None],
-            sc.sky_radiance if static.sky_exists else jnp.zeros(3),
-            0.0,
+            ))
+    if is_refraction and static.sky_exists:
+        sky = sc.sky_radiance
+        rgb = rgb + vec3.where(
+            tri < 0, V3(sky[0], sky[1], sky[2]) * jnp.ones_like(rgb.x), 0.0
         )
-        rgb = rgb + miss_rgb
 
     rd, rg, rrf, rt = rr
     if (rrf < conf.gi_refraction_depth and rt < conf.gi_total_depth
             and static.has_refract):
         o2, d2, wgt, ok, tp2 = _refr_t(
-            sc, static, conf, surf, matg, frame, wo, rng.fold(key, 900), 1
+            sc, static, conf, surf, pv, matv, frame, wo, rng.fold(key, 900), 1
         )
         sub_pack = _shade_generation_t(
             sc, static, conf, o2, d2, rng.fold(key, 33), VIS_REFRACTED,
@@ -835,14 +861,12 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
             is_refraction=True, rr=(rd, rg, rrf + 1, rt + 1),
             ray_lobe="refracted",
             base_fp=surf.fp,
-            spread=jnp.maximum(matg.ggx.alpha_g, conf.pix_spread),
+            spread=jnp.maximum(matv.ggx.alpha_g, conf.pix_spread),
             trace_pack=tp2,
         )
         sub_rgb = sub_pack[1]
-        n = surf.p.shape[0]
-        add = (wgt * sub_rgb.reshape(n, 1, 3))[:, 0, :]
-        rgb = rgb + jnp.where(ok[:, 0][..., None], add, 0.0)
-    return (surf, matg, frame, wo), rgb, aov_d, aov_s
+        rgb = rgb + vec3.where(ok, wgt * sub_rgb, 0.0)
+    return (surf, matg, matv, pv, nfv, frame, wo), rgb, aov_d, aov_s
 
 
 @partial(jax.jit, static_argnames=("static", "conf", "tile_rays"))
@@ -857,67 +881,68 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
         direction_full, (start, 0), (tile_rays, 3)
     )
     n0 = tile_rays
-    (surf0, matg0, frame0, wo0), rgb, aov_dd, aov_ds = _shade_generation_t(
+    pack, rgb, aov_dd, aov_ds = _shade_generation_t(
         sc, static, conf, origin, direction, rng.fold(key, 0), VIS_CAMERA,
         camera_level=True, indirect_scaled=False, is_refraction=False,
         # camera-level depth gates are the explicit families below
         rr=(99, 99, 99, 99), ray_lobe="camera",
     )
+    surf0, matg0, matv0, pv0, nfv0, frame0, wo0 = pack
     if static.sky_exists:
-        rgb = rgb + jnp.where(
-            (~surf0.valid)[..., None], sc.sky_radiance, 0.0
+        sky = sc.sky_radiance
+        rgb = rgb + vec3.where(
+            ~surf0.valid, V3(sky[0], sky[1], sky[2]) * jnp.ones_like(rgb.x),
+            0.0,
         )
-    aovs = {"direct_diffuse": aov_dd, "direct_specular": aov_ds}
+    aovs = {"direct_diffuse": aov_dd.aos(), "direct_specular": aov_ds.aos()}
 
     if conf.nb_d:
         scale = jnp.where(
-            matg0.mtype == MAT_DISNEY, matg0.indirect_diffuse_scale, 1.0
+            matv0.mtype == MAT_DISNEY, matv0.indirect_diffuse_scale, 1.0
         )
         c = _lobe_family_full(
-            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 1),
+            sc, static, conf, surf0, pv0, nfv0, matv0, frame0, wo0,
+            rng.fold(key, 1),
             "diffuse", conf.nb_d, (1, 0, 0, 1), indirect_scaled=True,
             cam_pickup=True, scale=scale,
         )
-        aovs["indirect_diffuse"] = c
+        aovs["indirect_diffuse"] = c.aos()
         rgb = rgb + c
     else:
         aovs["indirect_diffuse"] = jnp.zeros((n0, 3))
 
     if conf.nb_g:
         scale = jnp.where(
-            matg0.mtype == MAT_DISNEY, matg0.indirect_specular_scale, 1.0
+            matv0.mtype == MAT_DISNEY, matv0.indirect_specular_scale, 1.0
         )
         c = _lobe_family_full(
-            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 2),
+            sc, static, conf, surf0, pv0, nfv0, matv0, frame0, wo0,
+            rng.fold(key, 2),
             "specular", conf.nb_g, (0, 1, 0, 1), indirect_scaled=True,
             cam_pickup=True, scale=scale,
         )
-        aovs["indirect_specular"] = c
+        aovs["indirect_specular"] = c.aos()
         rgb = rgb + c
     else:
         aovs["indirect_specular"] = jnp.zeros((n0, 3))
 
     if conf.nb_r:
         o1, d1, wgt, ok, tp1 = _refr_t(
-            sc, static, conf, surf0, matg0, frame0, wo0, rng.fold(key, 3),
-            conf.nb_r,
+            sc, static, conf, surf0, pv0, matv0, frame0, wo0,
+            rng.fold(key, 3), conf.nb_r,
         )
         _, sub_rgb, _, _ = _shade_generation_t(
             sc, static, conf, o1, d1, rng.fold(key, 13), VIS_REFRACTED,
             camera_level=False, indirect_scaled=False,
             is_refraction=True, rr=(0, 0, 1, 1), ray_lobe="refracted",
-            base_fp=jnp.repeat(surf0.fp, conf.nb_r, axis=0),
-            spread=jnp.repeat(
-                jnp.maximum(matg0.ggx.alpha_g, conf.pix_spread),
-                conf.nb_r, axis=0,
+            base_fp=jnp.tile(surf0.fp, conf.nb_r),
+            spread=jnp.tile(
+                jnp.maximum(matv0.ggx.alpha_g, conf.pix_spread), conf.nb_r
             ),
             trace_pack=tp1,
         )
-        c = (
-            jnp.where(ok[..., None], wgt, 0.0)
-            * sub_rgb.reshape(n0, conf.nb_r, 3)
-        ).mean(1)
-        aovs["refraction"] = c
+        c = vec3.kmean(vec3.where(ok, wgt, 0.0) * sub_rgb, conf.nb_r)
+        aovs["refraction"] = c.aos()
         rgb = rgb + c
     else:
         aovs["refraction"] = jnp.zeros((n0, 3))
@@ -928,7 +953,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
         sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist,
         sss_color=matg0.sss_color, cavity_fadeout=matg0.cavity_fadeout,
     )
-    return rgb, aovs, sss_in
+    return rgb.aos(), aovs, sss_in
 
 
 class TileRenderer:

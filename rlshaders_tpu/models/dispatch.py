@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ..bsdf import disney, ggx, orennayar
+from ..core import vec3
+from ..core.vec3 import V3, v3
 from ..core.vecmath import dot, normalize
 from ..scene.build import (
     MAT_DISNEY,
@@ -279,50 +281,96 @@ def apply_bump(
 
 
 # ---------------------------------------------------------------------------
-# Diffuse lobe
+# Channel-split (V3) material view — the hot-path representation.
+#
+# `gather` produces AoS (N, 3) color fields straight from the table gathers;
+# `to_v` converts them ONCE per batch into V3 channel triples so every lobe
+# evaluation below runs rank-1 and pad-free on TPU (see core/vec3.py), and
+# `tile_v` repeats the batch per light-grid column / BSDF sample as flat
+# column-major chunks.
 # ---------------------------------------------------------------------------
 
-def eval_diffuse(m: MatG, wo: jnp.ndarray, wi: jnp.ndarray):
-    """(f*cos (...,3), pdf) for the diffuse lobe in the local frame."""
+_MATG_COLOR_FIELDS = (
+    "diffuse_color", "spec_weight", "spec2_weight", "kt_color", "opacity",
+    "emission", "sss_color", "sss_dist",
+)
+
+
+def to_v(m: MatG) -> MatG:
+    """AoS MatG -> V3-form MatG (color fields become V3 triples)."""
+    repl = {f: v3(getattr(m, f)) for f in _MATG_COLOR_FIELDS}
+    repl["ggx"] = m.ggx._replace(spec_color=_ones3())
+    repl["ggx2"] = m.ggx2._replace(spec_color=_ones3())
+    repl["dsy"] = m.dsy._replace(
+        base_color=v3(m.dsy.base_color),
+        sheen_color=v3(m.dsy.sheen_color),
+        spec_f0=v3(m.dsy.spec_f0),
+    )
+    return m._replace(**repl)
+
+
+def _ones3() -> V3:
+    one = jnp.float32(1.0)
+    return V3(one, one, one)
+
+
+def tile_v(m: MatG, k: int) -> MatG:
+    """Repeat a V3-form MatG k times along the batch axis (column-major
+    chunks, matching vec3.tile's layout)."""
+    if k == 1:
+        return m
+
+    def f(a):
+        if a is None or not hasattr(a, "ndim") or a.ndim == 0:
+            return a
+        return jnp.tile(a, (k,) + (1,) * (a.ndim - 1))
+
+    return jax.tree_util.tree_map(f, m)
+
+
+# ---------------------------------------------------------------------------
+# Diffuse lobe (V3-native: wo/wi are vec3.V3, m is a to_v() MatG)
+# ---------------------------------------------------------------------------
+
+def eval_diffuse(m: MatG, wo: V3, wi: V3):
+    """(f*cos V3, pdf) for the diffuse lobe in the local frame."""
     on = orennayar.make_params(m.diffuse_roughness)
-    f_on = orennayar.eval_brdf(on, wo, wi)[..., None] * m.diffuse_color
+    f_on = m.diffuse_color * orennayar.eval_brdf(on, wo, wi)
     f_dsy = disney.eval_diffuse_cos(m.dsy, wo, wi)
-    f = jnp.where((m.mtype == MAT_DISNEY)[..., None], f_dsy, f_on)
-    pdf = jnp.maximum(wi[..., 2], 0.0) / jnp.pi
-    return jnp.where(m.has_diffuse[..., None], f, 0.0), jnp.maximum(pdf, 1e-9)
+    f = vec3.where(m.mtype == MAT_DISNEY, f_dsy, f_on)
+    pdf = jnp.maximum(wi.z, 0.0) / jnp.pi
+    return vec3.where(m.has_diffuse, f, 0.0), jnp.maximum(pdf, 1e-9)
 
 
-def sample_diffuse(m: MatG, wo: jnp.ndarray, rx, ry) -> jnp.ndarray:
-    from ..core.vecmath import cosine_sample_hemisphere
-
+def sample_diffuse(m: MatG, wo: V3, rx, ry) -> V3:
     del m, wo
-    return cosine_sample_hemisphere(rx, ry)
+    return orennayar.sample_v(None, None, rx, ry)
 
 
 # ---------------------------------------------------------------------------
 # Specular lobe
 # ---------------------------------------------------------------------------
 
-def eval_specular(m: MatG, wo: jnp.ndarray, wi: jnp.ndarray):
-    """(f*cos (...,3), pdf) for the specular lobe stack in the local frame.
+def eval_specular(m: MatG, wo: V3, wi: V3):
+    """(f*cos V3, pdf) for the specular lobe stack in the local frame.
 
     Fresnel mode follows the material: dielectric IOR (rlGgx, rlGgx.h:249),
     Schlick with artist F0=Ksn or no Fresnel (Arnold standard's
     specular_Fresnel/Ksn semantics).
     """
     f_diel, gd = ggx.reflection_parts(m.ggx, wo, wi)
-    h = normalize(wo + wi)
+    h = vec3.normalize(wo + wi)
     f_schlick = m.spec_ksn + (1.0 - m.spec_ksn) * jnp.clip(
-        1.0 - jnp.abs(dot(wi, h)), 0.0, 1.0
+        1.0 - jnp.abs(vec3.dot(wi, h)), 0.0, 1.0
     ) ** 5
     fres = jnp.where(
         m.spec_fresnel_mode == 0,
         f_diel,
         jnp.where(m.spec_fresnel_mode == 1, f_schlick, 1.0),
     )
-    valid = dot(wi, wi) > 1e-12
-    refl = fres * gd * wi[..., 2]
-    f_ggx = jnp.where(valid[..., None], refl[..., None], 0.0) * m.spec_weight
+    valid = vec3.dot(wi, wi) > 1e-12
+    refl = jnp.where(valid, fres * gd * wi.z, 0.0)
+    f_ggx = m.spec_weight * refl
     p_ggx = ggx.pdf(m.ggx, wo, wi)
 
     f_dsy = disney.eval_specular_cos(m.dsy, wo, wi)
@@ -330,51 +378,49 @@ def eval_specular(m: MatG, wo: jnp.ndarray, wi: jnp.ndarray):
 
     # skin: sheen lobe layered over specular with Fresnel energy accounting
     # (rlSkin.cpp:204-238); the layering weight uses the per-sample Fresnel.
-    f_sheen = ggx.eval_brdf(m.ggx2, wo, wi) * m.spec2_weight
-    h = normalize(wo + wi)
+    refl2 = jnp.where(valid, ggx.reflection_term(m.ggx2, wo, wi) * wi.z, 0.0)
+    f_sheen = m.spec2_weight * refl2
     fres_sheen = ggx.fresnel_dielectric(wi, h, m.ggx2.ior_in, m.ggx2.ior_out)
-    sheen_w = jnp.max(m.spec2_weight, axis=-1)
-    f_skin = f_sheen + f_ggx * (1.0 - fres_sheen * sheen_w)[..., None]
+    sheen_w = vec3.maxc(m.spec2_weight)
+    f_skin = f_sheen + f_ggx * (1.0 - fres_sheen * sheen_w)
     p_sheen = ggx.pdf(m.ggx2, wo, wi)
     has_sheen = sheen_w > 1e-5
     p_skin = jnp.where(has_sheen, 0.5 * (p_ggx + p_sheen), p_ggx)
 
-    is_disney = (m.mtype == MAT_DISNEY)[..., None]
-    is_skin = (m.mtype == MAT_SKIN)[..., None]
-    f = jnp.where(is_disney, f_dsy, jnp.where(is_skin, f_skin, f_ggx))
-    pdf = jnp.where(
-        is_disney[..., 0], p_dsy, jnp.where(is_skin[..., 0], p_skin, p_ggx)
-    )
-    return jnp.where(m.has_spec[..., None], f, 0.0), jnp.maximum(pdf, 1e-9)
+    is_disney = m.mtype == MAT_DISNEY
+    is_skin = m.mtype == MAT_SKIN
+    f = vec3.where(is_disney, f_dsy, vec3.where(is_skin, f_skin, f_ggx))
+    pdf = jnp.where(is_disney, p_dsy, jnp.where(is_skin, p_skin, p_ggx))
+    return vec3.where(m.has_spec, f, 0.0), jnp.maximum(pdf, 1e-9)
 
 
-def sample_specular(m: MatG, wo: jnp.ndarray, rx, ry) -> jnp.ndarray:
+def sample_specular(m: MatG, wo: V3, rx, ry) -> V3:
     wi_dsy = disney.sample_specular(m.dsy, wo, rx, ry)
     # skin: pick sheen or specular lobe 50/50 when sheen is present. Both
     # branches remap rx to [0,1) so each lobe sees the full slope CDF
     # (mirrors disney.sample_specular's mixture remap); without sheen the
     # raw rx feeds the specular lobe untouched.
-    sheen_w = jnp.max(m.spec2_weight, axis=-1)
+    sheen_w = vec3.maxc(m.spec2_weight)
     has_sheen = sheen_w > 1e-5
     use_sheen = (rx < 0.5) & has_sheen
     rx_spec = jnp.where(has_sheen, (rx - 0.5) * 2.0, rx)
     wi_ggx, _ = ggx.sample(m.ggx, wo, rx_spec, ry)
     rx_sheen = jnp.where(use_sheen, rx * 2.0, rx)
     wi_sheen, _ = ggx.sample(m.ggx2, wo, rx_sheen, ry)
-    wi_skin = jnp.where(use_sheen[..., None], wi_sheen, wi_ggx)
+    wi_skin = vec3.where(use_sheen, wi_sheen, wi_ggx)
 
-    is_disney = (m.mtype == MAT_DISNEY)[..., None]
-    is_skin = (m.mtype == MAT_SKIN)[..., None]
-    return jnp.where(is_disney, wi_dsy, jnp.where(is_skin, wi_skin, wi_ggx))
+    is_disney = m.mtype == MAT_DISNEY
+    is_skin = m.mtype == MAT_SKIN
+    return vec3.where(is_disney, wi_dsy, vec3.where(is_skin, wi_skin, wi_ggx))
 
 
 # ---------------------------------------------------------------------------
 # Refraction lobe (rlGgx only in practice)
 # ---------------------------------------------------------------------------
 
-def sample_refract(m: MatG, wo: jnp.ndarray, rx, ry):
-    """(wi, weight(3,)) rough-refraction sample (integrateRefract per-sample
-    logic, rlGgx.h:228-243)."""
+def sample_refract(m: MatG, wo: V3, rx, ry):
+    """(wi V3, weight V3) rough-refraction sample (integrateRefract
+    per-sample logic, rlGgx.h:228-243)."""
     wi, w, _tir = ggx.sample_refract(m.ggx, wo, rx, ry)
-    weight = w[..., None] * m.kt_color
-    return wi, jnp.where(m.has_refract[..., None], weight, 0.0)
+    weight = m.kt_color * w
+    return wi, vec3.where(m.has_refract, weight, 0.0)

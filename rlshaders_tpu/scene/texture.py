@@ -180,6 +180,11 @@ def compute_lod(stack: TextureStack, tex_id: jnp.ndarray,
     h = stack.sizes[tid, 0, 0].astype(jnp.float32)
     texels = fp_uv * jnp.maximum(h, w)
     lod = jnp.log2(jnp.maximum(texels, 1e-12))
+    # RLS_LOD_BIAS: texture-minification calibration knob (levels) against
+    # Arnold's smart_bicubic footprint, exercised by tools/ scripts.
+    import os as _os
+
+    lod = lod + float(_os.environ.get("RLS_LOD_BIAS", "0"))
     top = (stack.n_levels[tid] - 1).astype(jnp.float32)
     return jnp.clip(lod, 0.0, top)
 
