@@ -349,9 +349,13 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
 
 def SSS_FIELDS(surf, matg, is_sss):
     """Bundle the (surf, matg) fields the SSS program needs (used by the
-    traced secondary-ray path inside the tile program)."""
-    return (surf.p, surf.ns, surf.mesh_id, is_sss, matg.sss_dist,
-            matg.sss_color, matg.sss_weight, matg.cavity_fadeout)
+    traced secondary-ray path inside the tile program). The V3-form MatG's
+    color fields convert back to (N, 3) at this AoS-stage boundary."""
+    def aos(c):
+        return c.aos() if hasattr(c, "aos") else c
+
+    return (surf.p, surf.ns, surf.mesh_id, is_sss, aos(matg.sss_dist),
+            aos(matg.sss_color), matg.sss_weight, matg.cavity_fadeout)
 
 
 def sss_eval(sc, static, fields, key, n_sss, gi_diffuse, k_probe=K_PROBE):

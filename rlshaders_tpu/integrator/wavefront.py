@@ -183,20 +183,24 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     g = sc.geometry
     tri = jnp.maximum(tri_in, 0)
     valid = tri_in >= 0
-    e1 = g.e1[tri]
-    e2 = g.e2[tri]
-    p = o + d * t[..., None]
-    ng = normalize(jnp.cross(e1, e2))
+    # gathers produce (N, 3) AoS rows; convert once to V3 channels and keep
+    # ALL math rank-1 (pad-free) from there
+    e1 = v3(g.e1[tri])
+    e2 = v3(g.e2[tri])
+    ov = v3(o)
+    dv = v3(d)
+    p = ov + dv * t
+    ng_un = vec3.cross(e1, e2)
+    ng = vec3.normalize(ng_un)
     w = 1.0 - uu - vv
-    ns = normalize(
-        w[..., None] * g.n0[tri] + uu[..., None] * g.n1[tri] + vv[..., None] * g.n2[tri]
+    ns = vec3.normalize(
+        v3(g.n0[tri]) * w + v3(g.n1[tri]) * uu + v3(g.n2[tri]) * vv
     )
-    uv = (
-        w[..., None] * g.uv0[tri] + uu[..., None] * g.uv1[tri] + vv[..., None] * g.uv2[tri]
-    )
-    entering = dot(ng, d) < 0.0
-    sign = jnp.where(dot(ns, d) < 0.0, 1.0, -1.0)
-    nf = ns * sign[..., None]
+    uv0, uv1, uv2 = g.uv0[tri], g.uv1[tri], g.uv2[tri]
+    uv = w[..., None] * uv0 + uu[..., None] * uv1 + vv[..., None] * uv2
+    entering = vec3.dot(ng, dv) < 0.0
+    sign = jnp.where(vec3.dot(ns, dv) < 0.0, 1.0, -1.0)
+    nf = ns * sign
 
     # Ray-cone footprint for texture LOD (Arnold tracks dPdx/dPdy ray
     # differentials through sg; a cone is the batched equivalent): the
@@ -208,16 +212,16 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     if spread is None:
         spread = jnp.zeros_like(t)
     tc = jnp.where(valid, t, 0.0)
-    cosg = jnp.abs(dot(ng, d))
+    cosg = jnp.abs(vec3.dot(ng, dv))
     fp = (base_fp + spread * tc) / jnp.sqrt(jnp.maximum(cosg, 0.05))
     # per-triangle UV density: texels-per-world from the uv/world area ratio
-    duv1 = g.uv1[tri] - g.uv0[tri]
-    duv2 = g.uv2[tri] - g.uv0[tri]
+    duv1 = uv1 - uv0
+    duv2 = uv2 - uv0
     area_uv = jnp.abs(duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0])
-    area_w = jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    area_w = vec3.length(ng_un)
     uv_density = jnp.sqrt(area_uv / jnp.maximum(area_w, 1e-20))
     return Surface(
-        p=p, ng=ng, ns=ns, nf=nf, uv=uv,
+        p=p.aos(), ng=ng.aos(), ns=ns.aos(), nf=nf.aos(), uv=uv,
         mat_id=g.mat_id[tri], mesh_id=g.mesh_id[tri],
         tri=jnp.where(valid, tri_in, -1),
         entering=entering, valid=valid,
@@ -950,8 +954,8 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
 
     sss_in = SSSIn(
         p=surf0.p, ns=surf0.ns, mesh_id=surf0.mesh_id, valid=surf0.valid,
-        sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist,
-        sss_color=matg0.sss_color, cavity_fadeout=matg0.cavity_fadeout,
+        sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist.aos(),
+        sss_color=matg0.sss_color.aos(), cavity_fadeout=matg0.cavity_fadeout,
     )
     return rgb.aos(), aovs, sss_in
 

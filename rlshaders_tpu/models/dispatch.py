@@ -67,12 +67,26 @@ class MatG(NamedTuple):
     has_refract: jnp.ndarray
 
 
-def _proj_uv_scale(proj_inv: jnp.ndarray) -> jnp.ndarray:
-    """UV-per-world scale of a planar projection: local = p @ P; uv =
-    (local+1)/2, so duv/dp = |P column| / 2 (mean of the two uv axes)."""
+def _proj_uv_scale_table(proj_inv: jnp.ndarray) -> jnp.ndarray:
+    """Per-MATERIAL-TABLE UV-per-world scale of a planar projection:
+    local = p @ P; uv = (local+1)/2, so duv/dp = |P column| / 2 (mean of
+    the two uv axes). Computed on the tiny (T, 4, 4) table, then gathered
+    per hit as a scalar — no (M, 4, 4) matrices in the batch."""
     c0 = jnp.linalg.norm(proj_inv[..., :3, 0], axis=-1)
     c1 = jnp.linalg.norm(proj_inv[..., :3, 1], axis=-1)
     return 0.25 * (c0 + c1)
+
+
+def _proj_xy(proj_inv_table: jnp.ndarray, mat_id: jnp.ndarray, p: V3):
+    """Channel-split planar projection: (local_x, local_y) of
+    p @ inv(placement) via 8 scalar-entry gathers from the (T, 4, 4) table
+    (the (M, 4, 4) gather + einsum pads 64x on TPU)."""
+    def e(i, j):
+        return proj_inv_table[:, i, j][mat_id]
+
+    lx = p.x * e(0, 0) + p.y * e(1, 0) + p.z * e(2, 0) + e(3, 0)
+    ly = p.x * e(0, 1) + p.y * e(1, 1) + p.z * e(2, 1) + e(3, 1)
+    return lx, ly
 
 
 def gather(
@@ -91,40 +105,43 @@ def gather(
     planar: uv from the placement-matrix local frame). `fp` / `fp_uv` are the
     ray-cone footprint (world / UV space) driving mip LOD selection — the
     Arnold smart_bicubic minification path.
+
+    Returns a V3-form MatG: every color field is a channel-split V3
+    (core/vec3.py), ready for the flat lobe evaluators. Unused (M, ...)
+    gathers from the tree_map are dead-code-eliminated by XLA.
     """
     g = jax.tree_util.tree_map(lambda a: a[mat_id], mats)
     mtype = g.mtype
+    pvv = None if p is None else (p if isinstance(p, V3) else v3(p))
 
     in_coverage = jnp.ones(mat_id.shape, bool)
     is_proj = jnp.zeros(mat_id.shape, bool)
     if p is not None:
         # planar projection: local = p @ inv(placement); uv = (local+1)/2;
         # outside the unit square the projection yields its defaultColor
-        local = (
-            jnp.einsum("...i,...ij->...j", p, g.kd_proj_inv[..., :3, :3])
-            + g.kd_proj_inv[..., 3, :3]
-        )
-        proj_uv = (local[..., :2] + 1.0) * 0.5
+        lx, ly = _proj_xy(mats.kd_proj_inv, mat_id, pvv)
+        proj_uv = jnp.stack([(lx + 1.0) * 0.5, (ly + 1.0) * 0.5], axis=-1)
         is_proj = g.kd_proj == 1
         uv = jnp.where(is_proj[..., None], proj_uv, uv)
         in_coverage = ~is_proj | (
-            (jnp.abs(local[..., 0]) <= 1.0) & (jnp.abs(local[..., 1]) <= 1.0)
+            (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
         )
     lod = None
     if fp_uv is not None:
         fpu = fp_uv
         if p is not None and fp is not None:
-            fpu = jnp.where(is_proj, fp * _proj_uv_scale(g.kd_proj_inv), fp_uv)
+            kd_scale = _proj_uv_scale_table(mats.kd_proj_inv)[mat_id]
+            fpu = jnp.where(is_proj, fp * kd_scale, fp_uv)
         lod = compute_lod(tex, g.kd_tex, fpu)
     tex_raw = sample_smart_bicubic(tex, g.kd_tex, uv, lod)
     # Maya file-node color balance: tex*gain + offset, with the node's
     # `invert` flag already folded into (gain, offset) by scene/build.py
     # (invert on => gain' = -gain, offset' = gain + offset; e.g. the logo
     # projection's file66 resolves to 2 - tex).
-    tex_color = tex_raw * g.kd_tex_gain + g.kd_tex_offset
-    tex_color = jnp.where(in_coverage[..., None], tex_color, g.kd_proj_default)
-    tex_color = jnp.where((g.kd_tex >= 0)[..., None], tex_color, 1.0)
-    base_color = g.kd_color * tex_color
+    tex_color = tex_raw * v3(g.kd_tex_gain) + v3(g.kd_tex_offset)
+    tex_color = vec3.where(in_coverage, tex_color, v3(g.kd_proj_default))
+    tex_color = vec3.where(g.kd_tex >= 0, tex_color, 1.0)
+    base_color = v3(g.kd_color) * tex_color
 
     is_disney = mtype == MAT_DISNEY
     is_skin = mtype == MAT_SKIN
@@ -135,13 +152,13 @@ def gather(
     #  rlGgx/standard: Kd * Kd_color (reference rlGgx.cpp:278-279)
     #  disney: handled inside the Disney diffuse term (base_color there)
     #  skin: diffuse-ray fallback = sss_color * sss_weight (rlSss.h:172-186)
-    diffuse_color = jnp.where(
-        is_disney[..., None],
+    diffuse_color = vec3.where(
+        is_disney,
         1.0,
-        jnp.where(
-            is_skin[..., None],
-            g.sss_color * g.sss_weight[..., None],
-            base_color * g.kd[..., None],
+        vec3.where(
+            is_skin,
+            v3(g.sss_color) * g.sss_weight,
+            base_color * g.kd,
         ),
     )
 
@@ -149,37 +166,35 @@ def gather(
     if p is not None:
         # scalar (Ks) texture input: Maya exposes LUMINANCE as the alpha of
         # alpha-less files; outside a projection's coverage alpha is 0
-        local_k = (
-            jnp.einsum("...i,...ij->...j", p, g.ks_proj_inv[..., :3, :3])
-            + g.ks_proj_inv[..., 3, :3]
-        )
+        klx, kly = _proj_xy(mats.ks_proj_inv, mat_id, pvv)
         kuv = jnp.where(
-            (g.ks_proj == 1)[..., None], (local_k[..., :2] + 1.0) * 0.5, uv
+            (g.ks_proj == 1)[..., None],
+            jnp.stack([(klx + 1.0) * 0.5, (kly + 1.0) * 0.5], axis=-1),
+            uv,
         )
         k_cov = (g.ks_proj != 1) | (
-            (jnp.abs(local_k[..., 0]) <= 1.0) & (jnp.abs(local_k[..., 1]) <= 1.0)
+            (jnp.abs(klx) <= 1.0) & (jnp.abs(kly) <= 1.0)
         )
         k_lod = None
         if fp is not None:
-            k_fpu = fp * _proj_uv_scale(g.ks_proj_inv)
+            k_fpu = fp * _proj_uv_scale_table(mats.ks_proj_inv)[mat_id]
             if fp_uv is not None:
                 k_fpu = jnp.where(g.ks_proj == 1, k_fpu, fp_uv)
             k_lod = compute_lod(tex, g.ks_tex, k_fpu)
         k_rgb = sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod)
         k_alpha = jnp.clip(
-            0.212671 * k_rgb[..., 0] + 0.71516 * k_rgb[..., 1]
-            + 0.072169 * k_rgb[..., 2],
+            0.212671 * k_rgb.x + 0.71516 * k_rgb.y + 0.072169 * k_rgb.z,
             0.0, 1.0,
         )
         k_alpha = jnp.where(k_cov, k_alpha, 0.0)
         ks = jnp.where(g.ks_tex >= 0, g.ks * k_alpha, g.ks)
 
-    spec_weight = jnp.where(
-        is_skin[..., None],
-        g.skin_spec_color * g.skin_spec_weight[..., None],
-        g.ks_color * ks[..., None],
+    spec_weight = vec3.where(
+        is_skin,
+        v3(g.skin_spec_color) * g.skin_spec_weight,
+        v3(g.ks_color) * ks,
     )
-    spec2_weight = g.skin_sheen_color * g.skin_sheen_weight[..., None]
+    spec2_weight = v3(g.skin_sheen_color) * g.skin_sheen_weight
 
     ggx_rough = jnp.where(is_skin, g.skin_spec_roughness, g.spec_roughness)
     # NOTE: ior < 1 is legal and used by the testsuite (case 0003 sets 0.47):
@@ -187,9 +202,9 @@ def gather(
     # near-mirror — the reference clamps only at 1e-4 (rlGgx.h:139)
     ggx_ior = jnp.where(is_skin, g.skin_spec_ior, jnp.maximum(g.ior, 1e-4))
     ggx_aniso = jnp.where(is_skin, 0.0, g.spec_aniso)
-    ggx_p = ggx.make_params(jnp.ones_like(spec_weight), ggx_rough, ggx_ior, ggx_aniso, entering)
+    ggx_p = ggx.make_params(_ones3(), ggx_rough, ggx_ior, ggx_aniso, entering)
     ggx2_p = ggx.make_params(
-        jnp.ones_like(spec_weight), g.skin_sheen_roughness, g.skin_sheen_ior, 0.0, entering
+        _ones3(), g.skin_sheen_roughness, g.skin_sheen_ior, 0.0, entering
     )
 
     dsy_p = disney.make_params(
@@ -206,14 +221,18 @@ def gather(
         clearcoat_gloss=g.clearcoat_gloss,
     )
 
-    kt_color = g.kt_color * g.kt[..., None]
+    kt_color = v3(g.kt_color) * g.kt
     eps = 1e-5
-    has_diffuse = jnp.max(jnp.abs(diffuse_color), axis=-1) > eps
+
+    def _absmax(c: V3):
+        return jnp.maximum(jnp.abs(c.x), jnp.maximum(jnp.abs(c.y), jnp.abs(c.z)))
+
+    has_diffuse = _absmax(diffuse_color) > eps
     has_diffuse = has_diffuse | is_disney  # disney diffuse from base_color
-    has_spec = (jnp.max(jnp.abs(spec_weight), axis=-1) > eps) | is_disney | (
-        is_skin & (jnp.max(jnp.abs(spec2_weight), axis=-1) > eps)
+    has_spec = (_absmax(spec_weight) > eps) | is_disney | (
+        is_skin & (_absmax(spec2_weight) > eps)
     )
-    has_refract = jnp.max(jnp.abs(kt_color), axis=-1) > eps
+    has_refract = _absmax(kt_color) > eps
 
     return MatG(
         mtype=mtype,
@@ -227,13 +246,13 @@ def gather(
         spec2_weight=spec2_weight,
         dsy=dsy_p,
         kt_color=kt_color,
-        opacity=g.opacity,
-        emission=g.emission,
+        opacity=v3(g.opacity),
+        emission=v3(g.emission),
         indirect_diffuse_scale=g.indirect_diffuse_scale,
         indirect_specular_scale=g.indirect_specular_scale,
-        sss_color=g.sss_color,
+        sss_color=v3(g.sss_color),
         sss_weight=g.sss_weight,
-        sss_dist=g.sss_dist,
+        sss_dist=v3(g.sss_dist),
         cavity_fadeout=g.cavity_fadeout,
         has_diffuse=has_diffuse,
         has_spec=has_spec,
@@ -251,33 +270,31 @@ def apply_bump(
 ) -> jnp.ndarray:
     """Perturb shading normals by a height map (the bump3d node): finite
     differences of the (projected) texture's luminance along two surface
-    tangents. Returns the bumped normal; identity where no bump is bound."""
-    from ..core.frame import build_frame_polar
+    tangents. Returns the bumped normal; identity where no bump is bound.
+    Channel-split throughout; `p`/`ns` are (N, 3) (trace-boundary arrays)."""
+    from ..core.frame import build_frame_polar_v
 
     g = jax.tree_util.tree_map(lambda a: a[mat_id], mats)
     has = g.bump_tex >= 0
 
-    def height(q):
-        local = (
-            jnp.einsum("...i,...ij->...j", q, g.bump_proj_inv[..., :3, :3])
-            + g.bump_proj_inv[..., 3, :3]
-        )
-        buv = (local[..., :2] + 1.0) * 0.5
-        cov = (jnp.abs(local[..., 0]) <= 1.0) & (jnp.abs(local[..., 1]) <= 1.0)
+    def height(q: V3):
+        lx, ly = _proj_xy(mats.bump_proj_inv, mat_id, q)
+        buv = jnp.stack([(lx + 1.0) * 0.5, (ly + 1.0) * 0.5], axis=-1)
+        cov = (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
         rgb = sample_bilinear(tex, g.bump_tex, buv)
-        lum = (
-            0.212671 * rgb[..., 0] + 0.71516 * rgb[..., 1] + 0.072169 * rgb[..., 2]
-        )
+        lum = 0.212671 * rgb.x + 0.71516 * rgb.y + 0.072169 * rgb.z
         return jnp.where(cov, lum, 0.5)
 
-    frame = build_frame_polar(ns)
-    h0 = height(p)
-    gu = (height(p + frame.u * eps) - h0) / eps
-    gv = (height(p + frame.v * eps) - h0) / eps
-    bumped = normalize(
-        ns - g.bump_height[..., None] * (gu[..., None] * frame.u + gv[..., None] * frame.v)
+    nsv = v3(ns)
+    pv = v3(p)
+    frame = build_frame_polar_v(nsv)
+    h0 = height(pv)
+    gu = (height(pv + frame.u * eps) - h0) / eps
+    gv = (height(pv + frame.v * eps) - h0) / eps
+    bumped = vec3.normalize(
+        nsv - (frame.u * gu + frame.v * gv) * g.bump_height
     )
-    return jnp.where(has[..., None], bumped, ns)
+    return vec3.where(has, bumped, nsv).aos()
 
 
 # ---------------------------------------------------------------------------
@@ -297,7 +314,10 @@ _MATG_COLOR_FIELDS = (
 
 
 def to_v(m: MatG) -> MatG:
-    """AoS MatG -> V3-form MatG (color fields become V3 triples)."""
+    """AoS MatG -> V3-form MatG (color fields become V3 triples). `gather`
+    already returns the V3 form; this remains for AoS-constructed MatG."""
+    if isinstance(m.diffuse_color, V3):
+        return m
     repl = {f: v3(getattr(m, f)) for f in _MATG_COLOR_FIELDS}
     repl["ggx"] = m.ggx._replace(spec_color=_ones3())
     repl["ggx2"] = m.ggx2._replace(spec_color=_ones3())

@@ -44,8 +44,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RAY_BLOCK = 128
-TRI_BLOCK = 128
+# Pair-tile shape: rays along lanes, triangles along sublanes. The
+# per-cluster while_loop iteration has a fixed ~us-scale latency (scalar
+# control + SMEM loads + cond), so FATTER blocks amortize it; env knobs for
+# calibration sweeps (tools/), defaults set by measurement on v5e.
+import os as _os
+
+RAY_BLOCK = int(_os.environ.get("RLS_RAY_BLOCK", "128"))
+TRI_BLOCK = int(_os.environ.get("RLS_TRI_BLOCK", "128"))
+del _os
 BIG = 1e30
 INV_SQRT3 = 0.5773502691896258
 # Per-call ray cap: keeps Mosaic's compile-time scoped-vmem ACCOUNTING of the

@@ -20,6 +20,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import vec3
+from ..core.vec3 import V3
+
 MAX_LEVELS = 12
 
 
@@ -49,9 +52,15 @@ def _downsample2(im: np.ndarray) -> np.ndarray:
 
 
 class TextureStack(NamedTuple):
-    """All mip levels of all textures packed into one flat texel array."""
+    """All mip levels of all textures packed into flat texel arrays.
 
-    data: jnp.ndarray     # (TOTAL, 3) float32 texels, row-major per level
+    Texels are stored CHANNEL-SPLIT (three (TOTAL,) planes): a tap is three
+    rank-1 gathers whose outputs stay pad-free on TPU, instead of one
+    (M, 3) gather that pads 43x (core/vec3.py)."""
+
+    dx: jnp.ndarray       # (TOTAL,) float32 red plane, row-major per level
+    dy: jnp.ndarray       # (TOTAL,) green
+    dz: jnp.ndarray       # (TOTAL,) blue
     offset: jnp.ndarray   # (N, L) int32 start of (tex, level) in data
     sizes: jnp.ndarray    # (N, L, 2) int32 (h, w) per level (clamped pyramid)
     n_levels: jnp.ndarray  # (N,) int32 number of real levels per texture
@@ -59,8 +68,9 @@ class TextureStack(NamedTuple):
     @staticmethod
     def build(images: list[np.ndarray]) -> "TextureStack":
         if not images:
+            z = jnp.zeros((1,), jnp.float32)
             return TextureStack(
-                data=jnp.zeros((1, 3), jnp.float32),
+                dx=z, dy=z, dz=z,
                 offset=jnp.zeros((1, MAX_LEVELS), jnp.int32),
                 sizes=jnp.ones((1, MAX_LEVELS, 2), jnp.int32),
                 n_levels=jnp.ones((1,), jnp.int32),
@@ -89,8 +99,11 @@ class TextureStack(NamedTuple):
             for l2 in range(lvl, MAX_LEVELS):
                 offs[i, l2] = offs[i, lvl - 1]
                 sizes[i, l2] = sizes[i, lvl - 1]
+        data = np.concatenate(flat, axis=0)
         return TextureStack(
-            data=jnp.asarray(np.concatenate(flat, axis=0)),
+            dx=jnp.asarray(np.ascontiguousarray(data[:, 0])),
+            dy=jnp.asarray(np.ascontiguousarray(data[:, 1])),
+            dz=jnp.asarray(np.ascontiguousarray(data[:, 2])),
             offset=jnp.asarray(offs, jnp.int32),
             sizes=jnp.asarray(sizes, jnp.int32),
             n_levels=jnp.asarray(n_levels, jnp.int32),
@@ -115,13 +128,15 @@ def _cubic_weights(t):
     return [k(t + 1.0), k(t), k(t - 1.0), k(t - 2.0)]
 
 
-def _fetch(stack: TextureStack, tid, lvl, y, x):
-    """Gather texels at integer (y, x) on `lvl` with wrap addressing."""
+def _fetch(stack: TextureStack, tid, lvl, y, x) -> V3:
+    """Gather texels at integer (y, x) on `lvl` with wrap addressing:
+    three rank-1 channel gathers (channel-split storage)."""
     h = stack.sizes[tid, lvl, 0]
     w = stack.sizes[tid, lvl, 1]
     yy = jnp.mod(y, h)
     xx = jnp.mod(x, w)
-    return stack.data[stack.offset[tid, lvl] + yy * w + xx]
+    idx = stack.offset[tid, lvl] + yy * w + xx
+    return V3(stack.dx[idx], stack.dy[idx], stack.dz[idx])
 
 
 _TEX_SHIFT = float(__import__("os").environ.get("RLS_TEX_SHIFT", "0.5"))
@@ -139,31 +154,29 @@ def _level_uv(stack: TextureStack, tid, lvl, uv):
     return x0f, y0f, u - x0f, v - y0f
 
 
-def _bicubic_level(stack: TextureStack, tid, lvl, uv):
-    """Mitchell bicubic on one mip level (16 taps)."""
+def _bicubic_level(stack: TextureStack, tid, lvl, uv) -> V3:
+    """Mitchell bicubic on one mip level (16 taps), channel-split."""
     x0f, y0f, fx, fy = _level_uv(stack, tid, lvl, uv)
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
     wxs = _cubic_weights(fx)
     wys = _cubic_weights(fy)
-    out = 0.0
+    out = V3(0.0, 0.0, 0.0)
     for dy in range(4):
-        row = 0.0
+        row = V3(0.0, 0.0, 0.0)
         for dx in range(4):
-            row = row + wxs[dx][..., None] * _fetch(
+            row = row + _fetch(
                 stack, tid, lvl, y0 + (dy - 1), x0 + (dx - 1)
-            )
-        out = out + wys[dy][..., None] * row
+            ) * wxs[dx]
+        out = out + row * wys[dy]
     return out
 
 
-def _bilinear_level(stack: TextureStack, tid, lvl, uv):
-    """Bilinear on one mip level (4 taps)."""
+def _bilinear_level(stack: TextureStack, tid, lvl, uv) -> V3:
+    """Bilinear on one mip level (4 taps), channel-split."""
     x0f, y0f, fx, fy = _level_uv(stack, tid, lvl, uv)
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
-    fx = fx[..., None]
-    fy = fy[..., None]
     c00 = _fetch(stack, tid, lvl, y0, x0)
     c01 = _fetch(stack, tid, lvl, y0, x0 + 1)
     c10 = _fetch(stack, tid, lvl, y0 + 1, x0)
@@ -191,7 +204,7 @@ def compute_lod(stack: TextureStack, tex_id: jnp.ndarray,
 
 def sample_smart_bicubic(stack: TextureStack, tex_id: jnp.ndarray,
                          uv: jnp.ndarray,
-                         lod: jnp.ndarray | None = None) -> jnp.ndarray:
+                         lod: jnp.ndarray | None = None) -> V3:
     """Arnold smart_bicubic analogue: Mitchell bicubic on the finer mip
     level, trilinear blend to a bilinear tap on the coarser one. `lod` is a
     continuous level (None = level 0, pure bicubic magnification).
@@ -201,34 +214,34 @@ def sample_smart_bicubic(stack: TextureStack, tex_id: jnp.ndarray,
     tid = jnp.maximum(tex_id, 0)
     if lod is None:
         out = _bicubic_level(stack, tid, 0, uv)
-        return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+        return vec3.where(tex_id >= 0, out, 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, MAX_LEVELS - 1)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
+    frac = lod - l0.astype(jnp.float32)
     fine = _bicubic_level(stack, tid, l0, uv)
     coarse = _bilinear_level(stack, tid, l1, uv)
     out = fine * (1.0 - frac) + coarse * frac
-    return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+    return vec3.where(tex_id >= 0, out, 1.0)
 
 
 def sample_bicubic(stack: TextureStack, tex_id: jnp.ndarray,
-                   uv: jnp.ndarray) -> jnp.ndarray:
+                   uv: jnp.ndarray) -> V3:
     """Level-0 Mitchell bicubic lookup (magnification path)."""
     return sample_smart_bicubic(stack, tex_id, uv, None)
 
 
 def sample_bilinear(stack: TextureStack, tex_id: jnp.ndarray,
                     uv: jnp.ndarray,
-                    lod: jnp.ndarray | None = None) -> jnp.ndarray:
+                    lod: jnp.ndarray | None = None) -> V3:
     """Bilinear lookup with wrap addressing (optionally trilinear-mip)."""
     tid = jnp.maximum(tex_id, 0)
     if lod is None:
         out = _bilinear_level(stack, tid, 0, uv)
-        return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+        return vec3.where(tex_id >= 0, out, 1.0)
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, MAX_LEVELS - 1)
-    frac = (lod - l0.astype(jnp.float32))[..., None]
+    frac = lod - l0.astype(jnp.float32)
     fine = _bilinear_level(stack, tid, l0, uv)
     coarse = _bilinear_level(stack, tid, l1, uv)
     out = fine * (1.0 - frac) + coarse * frac
-    return jnp.where((tex_id >= 0)[..., None], out, 1.0)
+    return vec3.where(tex_id >= 0, out, 1.0)
