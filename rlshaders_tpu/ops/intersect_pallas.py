@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 RAY_BLOCK = int(_os.environ.get("RLS_RAY_BLOCK", "128"))
+_STATS = _os.environ.get("RLS_TRACE_STATS", "0") == "1"
 TRI_BLOCK = int(_os.environ.get("RLS_TRI_BLOCK", "128"))
 del _os
 BIG = 1e30
@@ -72,24 +73,42 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+SUPER_GROUP = 8  # clusters per super-cluster (two-level culling)
+
+
 class PackedScene(NamedTuple):
-    """Cluster-packed triangle SoA (device). Padded tris are degenerate."""
+    """Cluster-packed triangle SoA (device). Padded tris are degenerate.
+
+    Two-level culling structure: clusters of TRI_BLOCK triangles (leaf-order
+    contiguous) grouped into super-clusters of SUPER_GROUP clusters. The
+    nearest kernel walks SUPERS front-to-back (early-breakable) and only
+    descends into member clusters whose super box is hit — an 8x cut in
+    sequential slab steps for blocks that see mostly empty space."""
 
     comp: jnp.ndarray      # (C*TB, 9) f32: v0xyz, e1xyz, e2xyz columns
     vis: jnp.ndarray       # (C*TB, 1) int32 visibility bits (0 for padding)
     opaque: jnp.ndarray    # (C*TB, 1) int32 1/0
     orig: jnp.ndarray      # (C*TB, 1) int32 original triangle index (-1 pad)
-    cl_min: jnp.ndarray    # (C, 3)
-    cl_max: jnp.ndarray    # (C, 3)
+    cl_min: jnp.ndarray    # (S*G, 3) cluster AABBs, padded rows degenerate
+    cl_max: jnp.ndarray    # (S*G, 3)
     oct_order: jnp.ndarray  # (8, Cp) int32 cluster ids, front-to-back/octant
     oct_proj: jnp.ndarray   # (8, Cp) f32 min diagonal projection, ascending
     oct_rank: jnp.ndarray   # (8, C) int32 rank of cluster c in octant order
+    sup_min: jnp.ndarray    # (S, 3) super-cluster AABBs
+    sup_max: jnp.ndarray    # (S, 3)
+    sup_order: jnp.ndarray  # (8, Sp) int32 super ids, front-to-back/octant
+    sup_proj: jnp.ndarray   # (8, Sp) f32 ascending min diagonal projections
+    sup_rank: jnp.ndarray   # (8, S) int32 rank of super s in octant order
     scene_lo: jnp.ndarray   # (3,) scene AABB (for ray-sort Morton keys)
     scene_hi: jnp.ndarray   # (3,)
 
     @property
     def n_clusters(self) -> int:
-        return self.cl_min.shape[0]
+        return self.oct_rank.shape[1]
+
+    @property
+    def n_supers(self) -> int:
+        return self.sup_min.shape[0]
 
 
 def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
@@ -139,19 +158,60 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
         oct_proj[o, :c] = proj[perm]
         oct_rank[o, perm] = np.arange(c, dtype=np.int32)
 
+    # super-clusters: groups of SUPER_GROUP consecutive (leaf-order, hence
+    # spatially coherent) clusters; cluster tables pad to S*G with
+    # degenerate boxes so the kernel's inner member loop needs no edge case
+    g = SUPER_GROUP
+    s_count = (c + g - 1) // g
+    cpad = s_count * g - c
+    cl_min_p = np.concatenate(
+        [cl_min, np.full((cpad, 3), BIG, np.float32)], axis=0
+    )
+    cl_max_p = np.concatenate(
+        [cl_max, np.full((cpad, 3), -BIG, np.float32)], axis=0
+    )
+    sup_min = cl_min_p.reshape(s_count, g, 3).min(axis=1)
+    sup_max = cl_max_p.reshape(s_count, g, 3).max(axis=1)
+    sup_degen = sup_min[:, 0] > sup_max[:, 0]
+    fs_min = np.where(np.isfinite(sup_min), sup_min, 0.0)
+    fs_max = np.where(np.isfinite(sup_max), sup_max, 0.0)
+    sp = ((s_count + 127) // 128) * 128
+    sup_order = np.zeros((8, sp), np.int32)
+    sup_proj = np.full((8, sp), BIG, np.float32)
+    sup_rank = np.zeros((8, s_count), np.int32)
+    for o in range(8):
+        s = _OCT_SIGNS[o]
+        corner = np.where(s[None, :] > 0, fs_min, fs_max)
+        proj = (corner * s[None, :]).sum(axis=1) * INV_SQRT3
+        proj = np.where(sup_degen, BIG, proj)
+        perm = np.argsort(proj, kind="stable").astype(np.int32)
+        sup_order[o, :s_count] = perm
+        sup_proj[o, :s_count] = proj[perm]
+        sup_rank[o, perm] = np.arange(s_count, dtype=np.int32)
+
+    # triangle arrays pad to the SUPER grid (S*G clusters) so the nearest
+    # kernel's unrolled member loop indexes in-bounds even for the (never
+    # runtime-taken) padded-cluster branches
+    tri_total = s_count * g * TRI_BLOCK
+    tpad = tri_total - comp.shape[0]
     return PackedScene(
-        comp=jnp.asarray(comp),
-        vis=jnp.asarray(np.pad(vis, (0, pad))[:, None]),
-        opaque=jnp.asarray(np.pad(opq, (0, pad))[:, None]),
+        comp=jnp.asarray(np.pad(comp, ((0, tpad), (0, 0)))),
+        vis=jnp.asarray(np.pad(vis, (0, pad + tpad))[:, None]),
+        opaque=jnp.asarray(np.pad(opq, (0, pad + tpad))[:, None]),
         orig=jnp.asarray(
-            np.pad(np.asarray(order, np.int64), (0, pad), constant_values=-1)
-            .astype(np.int32)[:, None]
+            np.pad(np.asarray(order, np.int64), (0, pad + tpad),
+                   constant_values=-1).astype(np.int32)[:, None]
         ),
-        cl_min=jnp.asarray(cl_min),
-        cl_max=jnp.asarray(cl_max),
+        cl_min=jnp.asarray(cl_min_p),
+        cl_max=jnp.asarray(cl_max_p),
         oct_order=jnp.asarray(oct_order),
         oct_proj=jnp.asarray(oct_proj),
         oct_rank=jnp.asarray(oct_rank),
+        sup_min=jnp.asarray(sup_min.astype(np.float32)),
+        sup_max=jnp.asarray(sup_max.astype(np.float32)),
+        sup_order=jnp.asarray(sup_order),
+        sup_proj=jnp.asarray(sup_proj),
+        sup_rank=jnp.asarray(sup_rank),
         scene_lo=jnp.asarray(
             np.where(degenerate[:, None], np.inf, fcl_min).min(axis=0)
             .astype(np.float32)
@@ -217,15 +277,18 @@ def _inv(d):
     return jnp.where(jnp.abs(d) > 1e-12, 1.0 / safe, BIG)
 
 
-def _block_meta(packed: "PackedScene", rays, n_clusters: int):
+def _block_meta(packed: "PackedScene", rays, n_boxes: int,
+                box_min=None, box_max=None, rank_table=None):
     """Per-ray-block traversal metadata (dense XLA, no sorting):
       meta[:, 0] = loop bound: 1 + the largest octant-order rank among the
-                   clusters the block's frustum can touch (0 for miss-all)
+                   boxes the block's frustum can touch (0 for miss-all)
       meta[:, 1] = dominant direction octant id
       meta[:, 2] = 1.0 when every ray in the block shares that octant
                    (enables the diagonal-projection early break)
       meta[:, 3] = max diagonal projection of the ray origins.
-    Returned as (nb, 128) f32 so it rides an (8, 128) SMEM tile."""
+    Returned as (nb, 128) f32 so it rides an (8, 128) SMEM tile. The box
+    level defaults to clusters (occluded kernel); the nearest kernel passes
+    the super-cluster tables."""
     nb = rays.shape[0]
     o = rays[:, 0:3, :]   # (nb, 3, R)
     d = rays[:, 3:6, :]
@@ -234,11 +297,12 @@ def _block_meta(packed: "PackedScene", rays, n_clusters: int):
     d_lo = d.min(axis=2)
     d_hi = d.max(axis=2)
 
-    cmin = packed.cl_min  # (C, 3)
-    cmax = packed.cl_max
+    cmin = (box_min if box_min is not None
+            else packed.cl_min[:n_boxes])  # (C, 3)
+    cmax = box_max if box_max is not None else packed.cl_max[:n_boxes]
 
-    tn = jnp.full((nb, n_clusters), -BIG)
-    tf = jnp.full((nb, n_clusters), BIG)
+    tn = jnp.full((nb, n_boxes), -BIG)
+    tf = jnp.full((nb, n_boxes), BIG)
     for a in range(3):
         dl = d_lo[:, None, a]
         dh = d_hi[:, None, a]
@@ -264,7 +328,8 @@ def _block_meta(packed: "PackedScene", rays, n_clusters: int):
         (d_lo > 0.0) == (bits > 0), axis=1
     )
 
-    ranks = packed.oct_rank[oct_id]  # (nb, C)
+    rt = rank_table if rank_table is not None else packed.oct_rank
+    ranks = rt[oct_id]  # (nb, C)
     bound = 1 + jnp.max(jnp.where(survive, ranks, -1), axis=1)  # (nb,)
 
     signs = jnp.asarray(_OCT_SIGNS)[oct_id]  # (nb, 3)
@@ -282,10 +347,12 @@ def _block_meta(packed: "PackedScene", rays, n_clusters: int):
 
 def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
-    clmin_ref,    # (C, 3) SMEM
-    clmax_ref,    # (C, 3) SMEM
-    order_ref,    # (8, Cp) SMEM int32 octant traversal orders
-    proj_ref,     # (8, Cp) SMEM f32 ascending min diagonal projections
+    clmin_ref,    # (S*G, 3) SMEM cluster AABBs (padded rows degenerate)
+    clmax_ref,    # (S*G, 3) SMEM
+    supmin_ref,   # (S, 3) SMEM super-cluster AABBs
+    supmax_ref,   # (S, 3) SMEM
+    order_ref,    # (8, Sp) SMEM int32 SUPER octant traversal orders
+    proj_ref,     # (8, Sp) SMEM f32 ascending min diagonal projections
     meta_ref,     # (8, 128) SMEM f32 per-block meta (row = program_id % 8)
     rays_ref,     # (1, 7, RAY_BLOCK) VMEM
     ex_ref,       # (1, 1, RAY_BLOCK) VMEM int32
@@ -300,6 +367,10 @@ def _nearest_kernel(
     n_clusters: int,
     t_eps: float,
 ):
+    """Two-level ordered walk: supers front-to-back along the block's octant
+    diagonal with an early break on the slowest lane's best t; member
+    clusters slab-tested (statically unrolled) and pair-tested behind a
+    cond only when their box is hit."""
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
     oz = rays_ref[0, 2:3, :]
@@ -318,8 +389,8 @@ def _nearest_kernel(
     proj_o = meta_ref[row, 3]
 
     def cond(state):
-        li, t_best, tri_best, u_best, v_best, t_worst = state
-        # front-to-back: a pure-octant block stops at the first cluster whose
+        li, pc, t_best, tri_best, u_best, v_best, t_worst = state
+        # front-to-back: a pure-octant block stops at the first super whose
         # min diagonal projection lies beyond the slowest ray's best hit
         # (projection along the unit diagonal is a lower bound on ray t)
         more = li < bound
@@ -328,49 +399,66 @@ def _nearest_kernel(
         )
         return jnp.logical_and(more, not_past)
 
-    def cluster_step(state):
-        li, t_best, tri_best, u_best, v_best, t_worst = state
-        ci = order_ref[oct_id, li]
-        tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
-        box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best)
-        any_hit = jnp.any(box_hit)
+    def pair_test(ci, state):
+        t_best, tri_best, u_best, v_best = state
+        sl = pl.ds(ci * TRI_BLOCK, TRI_BLOCK)
+        c = comp_ref[sl, :]
+        det, t, u, v = _pairs_mt(ox, oy, oz, dx, dy, dz, c)
+        vis = vis_ref[sl, :]
+        orig = orig_ref[sl, :]
+        ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_eps) & (t < t_best)
+            & ((vis & vism) != 0)
+            & (orig != exclude)
+        )
+        tm = jnp.where(ok, t, BIG)
+        t_new = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
+        sel = tm == t_new                                    # (TB, R)
+        better = t_new < t_best
+        tri_new = jnp.max(jnp.where(sel, orig, -1), axis=0, keepdims=True)
+        u_new = jnp.max(jnp.where(sel, u, -BIG), axis=0, keepdims=True)
+        v_new = jnp.max(jnp.where(sel, v, -BIG), axis=0, keepdims=True)
+        return (
+            jnp.where(better, t_new, t_best),
+            jnp.where(better, tri_new, tri_best),
+            jnp.where(better, u_new, u_best),
+            jnp.where(better, v_new, v_best),
+        )
 
-        def test(state):
-            t_best, tri_best, u_best, v_best = state
-            sl = pl.ds(ci * TRI_BLOCK, TRI_BLOCK)
-            c = comp_ref[sl, :]
-            det, t, u, v = _pairs_mt(ox, oy, oz, dx, dy, dz, c)
-            vis = vis_ref[sl, :]
-            orig = orig_ref[sl, :]
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > t_eps) & (t < t_best)
-                & ((vis & vism) != 0)
-                & (orig != exclude)
-            )
-            tm = jnp.where(ok, t, BIG)
-            t_new = jnp.min(tm, axis=0, keepdims=True)          # (1, R)
-            sel = tm == t_new                                    # (TB, R)
-            better = t_new < t_best
-            tri_new = jnp.max(jnp.where(sel, orig, -1), axis=0, keepdims=True)
-            u_new = jnp.max(jnp.where(sel, u, -BIG), axis=0, keepdims=True)
-            v_new = jnp.max(jnp.where(sel, v, -BIG), axis=0, keepdims=True)
-            return (
-                jnp.where(better, t_new, t_best),
-                jnp.where(better, tri_new, tri_best),
-                jnp.where(better, u_new, u_best),
-                jnp.where(better, v_new, v_best),
-            )
+    def super_step(state):
+        li, pc, t_best, tri_best, u_best, v_best, t_worst = state
+        si = order_ref[oct_id, li]
+        stn, stf = _slab(supmin_ref, supmax_ref, si, ox, oy, oz, ix, iy, iz)
+        sup_hit = jnp.any((stf >= jnp.maximum(stn, 0.0)) & (stn < t_best))
 
-        t_best, tri_best, u_best, v_best = jax.lax.cond(
-            any_hit, test, lambda s: s, (t_best, tri_best, u_best, v_best)
+        def descend(state):
+            pc = state[0]
+            st = state[1:]
+            for j in range(SUPER_GROUP):
+                ci = si * SUPER_GROUP + j
+                tn, tf = _slab(clmin_ref, clmax_ref, ci,
+                               ox, oy, oz, ix, iy, iz)
+                any_hit = jnp.any(
+                    (tf >= jnp.maximum(tn, 0.0)) & (tn < st[0])
+                )
+                pc = pc + any_hit.astype(jnp.int32)
+                st = jax.lax.cond(
+                    any_hit, lambda s: pair_test(ci, s), lambda s: s, st
+                )
+            return (pc,) + st
+
+        pc, t_best, tri_best, u_best, v_best = jax.lax.cond(
+            sup_hit, descend, lambda s: s,
+            (pc, t_best, tri_best, u_best, v_best),
         )
         t_worst = jnp.max(t_best)
-        return li + 1, t_best, tri_best, u_best, v_best, t_worst
+        return li + 1, pc, t_best, tri_best, u_best, v_best, t_worst
 
     t0 = jnp.minimum(tmax, BIG)
     init = (
+        jnp.int32(0),
         jnp.int32(0),
         t0,
         jnp.full((1, RAY_BLOCK), -1, jnp.int32),
@@ -378,13 +466,23 @@ def _nearest_kernel(
         jnp.zeros((1, RAY_BLOCK), jnp.float32),
         jnp.max(t0),
     )
-    _, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
-        cond, cluster_step, init
+    li_end, pc_end, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
+        cond, super_step, init
     )
     t_out[0] = t_best
     tri_out[0] = tri_best
-    u_out[0] = u_best
-    v_out[0] = v_best
+    if _STATS:
+        # debug instrumentation: u carries the outer iteration count, v the
+        # pair-test count (RLS_TRACE_STATS=1; hit u/v are sacrificed)
+        u_out[0] = jnp.broadcast_to(
+            li_end.astype(jnp.float32), (1, RAY_BLOCK)
+        )
+        v_out[0] = jnp.broadcast_to(
+            pc_end.astype(jnp.float32), (1, RAY_BLOCK)
+        )
+    else:
+        u_out[0] = u_best
+        v_out[0] = v_best
 
 
 def _occluded_kernel(
@@ -539,21 +637,48 @@ def intersect(
     return flat(t), flat(tri), flat(u), flat(v)
 
 
+def _scene_exit_t(packed: "PackedScene", o, d):
+    """Per-ray exit t of the (inflated) scene AABB: a ray cannot hit any
+    triangle past its box exit, so clamping t_max here keeps sky/miss lanes
+    from poisoning the kernel's t_worst early break with 1e30 (one such lane
+    used to force its whole 128-ray block to walk the full cluster window)."""
+    lo = packed.scene_lo - 1e-3
+    hi = packed.scene_hi + 1e-3
+    safe = jnp.where(jnp.abs(d) > 1e-12, d, 1.0)
+    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / safe, BIG)
+    ta = (lo - o) * inv
+    tb = (hi - o) * inv
+    tfar = jnp.minimum(jnp.maximum(ta, tb).min(axis=-1), BIG)
+    # rays that miss the box entirely get exit <= 0 -> t_max ~0 (no hits)
+    return jnp.maximum(tfar * (1.0 + 1e-4) + 1e-3, 0.0)
+
+
 @partial(jax.jit, static_argnames=("vis_mask", "t_eps"))
 def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     perm = jnp.argsort(_ray_sort_key(packed, o, d))
     o, d = o[perm], d[perm]
+    t_max_orig = t_max
     t_max, exclude_tri = t_max[perm], exclude_tri[perm]
+    # clamp the kernel's t_best init to the scene-box exit so miss/sky lanes
+    # can't poison the early break with 1e30; misses still REPORT the
+    # caller's t_max (fixed up after the kernel)
+    t_max = jnp.minimum(t_max, _scene_exit_t(packed, o, d))
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
-    meta = _block_meta(packed, rays, c)
+    meta = _block_meta(
+        packed, rays, packed.n_supers,
+        box_min=packed.sup_min, box_max=packed.sup_max,
+        rank_table=packed.sup_rank,
+    )
 
     kernel = partial(_nearest_kernel, n_clusters=c, t_eps=t_eps)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -583,8 +708,10 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
-        packed.oct_order,
-        packed.oct_proj,
+        packed.sup_min,
+        packed.sup_max,
+        packed.sup_order,
+        packed.sup_proj,
         meta,
         rays,
         ex,
@@ -594,7 +721,11 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     )
     inv = jnp.argsort(perm)
     flat = lambda a: a.reshape(-1)[:r0][inv]
-    return flat(t), flat(tri), flat(u), flat(v)
+    t, tri, u, v = flat(t), flat(tri), flat(u), flat(v)
+    # misses report the caller's t_max (the kernel's t carries the
+    # scene-exit clamp used for traversal pruning)
+    t = jnp.where(tri >= 0, t, jnp.minimum(t_max_orig, BIG))
+    return t, tri, u, v
 
 
 def occluded(
