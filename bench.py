@@ -43,12 +43,15 @@ SPP = 8  # samples per pixel per timed step
 
 
 def make_scene_batch(clearcoat: float):
-    """1080p material-test grid: roughness x metallic over the frame."""
+    """1080p material-test grid: roughness x metallic over the frame.
+    Channel-split (V3) params + view directions — the TPU-hot form."""
+    from rlshaders_tpu.core.vec3 import V3
+
     n = WIDTH * HEIGHT
     x = (jnp.arange(n) % WIDTH).astype(jnp.float32) / WIDTH
     y = (jnp.arange(n) // WIDTH).astype(jnp.float32) / HEIGHT
     params = disney.make_params(
-        base_color=jnp.stack([0.7 * jnp.ones_like(x), 0.3 + 0.4 * x, 0.2 + 0.6 * y], -1),
+        base_color=V3(0.7 * jnp.ones_like(x), 0.3 + 0.4 * x, 0.2 + 0.6 * y),
         roughness=0.05 + 0.9 * x,
         metallic=y,
         specular=0.8,
@@ -62,50 +65,60 @@ def make_scene_batch(clearcoat: float):
     )
     t = 0.3 + 0.5 * y
     st = jnp.sqrt(1.0 - t * t)
-    wo = jnp.stack([st, jnp.zeros_like(t), t], -1)
+    wo = V3(st, jnp.zeros_like(t), t)
     return params, wo
 
 
 def step(params, wo, key, cc: bool):
-    """SPP spec samples + SPP diffuse samples, full eval + pdf + MIS blend."""
-    n = wo.shape[0]
-    u = jax.random.uniform(key, (n, SPP, 4), dtype=jnp.float32)
-    pb = disney.expand_sample_axis(params)
-    wo_b = wo[:, None, :]
+    """SPP spec samples + SPP diffuse samples, full eval + pdf + MIS blend.
+    Flat sample-major layout (rlshaders_tpu.core.vec3): chunk s covers rows
+    [s*N, (s+1)*N)."""
+    from rlshaders_tpu.core import vec3
 
-    wi_s = disney.sample_specular(pb, wo_b, u[..., 0], u[..., 1], cc)
+    n = wo.x.shape[0]
+    u = jax.random.uniform(key, (SPP * n, 4), dtype=jnp.float32)
+    pb = jax.tree_util.tree_map(
+        lambda a: jnp.tile(a, SPP) if getattr(a, "ndim", 0) == 1 else a,
+        params,
+    )
+    wo_b = vec3.tile(wo, SPP)
+
+    wi_s = disney.sample_specular(pb, wo_b, u[:, 0], u[:, 1], cc)
     f_s = disney.eval_specular_cos(pb, wo_b, wi_s, cc)
     p_s = disney.pdf_specular(pb, wo_b, wi_s, cc)
     p_sd = disney.pdf_diffuse(pb, wo_b, wi_s)
     w_s = p_s / jnp.maximum(p_s + p_sd, 1e-9)
 
-    wi_d = disney.sample_diffuse(pb, wo_b, u[..., 2], u[..., 3])
+    wi_d = disney.sample_diffuse(pb, wo_b, u[:, 2], u[:, 3])
     f_d = disney.eval_diffuse_cos(pb, wo_b, wi_d)
     p_d = disney.pdf_diffuse(pb, wo_b, wi_d)
     p_ds = disney.pdf_specular(pb, wo_b, wi_d, cc)
     w_d = p_d / jnp.maximum(p_d + p_ds, 1e-9)
 
     est = (
-        f_s * (w_s / jnp.maximum(p_s, 1e-9))[..., None]
-        + f_d * (w_d / jnp.maximum(p_d, 1e-9))[..., None]
+        f_s * (w_s / jnp.maximum(p_s, 1e-9))
+        + f_d * (w_d / jnp.maximum(p_d, 1e-9))
     )
-    return est.mean(axis=1)
+    return vec3.kmean(est, SPP)
 
 
 def bench_bsdf(clearcoat: float) -> float:
-    """Gsamples/s for one clearcoat configuration."""
+    """Gsamples/s for one clearcoat configuration.
+
+    Timing fetches the result to host: on the tunneled TPU,
+    block_until_ready returns before remote execution completes (measured),
+    so device-only timing under-reports by orders of magnitude."""
     params, wo = make_scene_batch(clearcoat)
     cc = disney.has_clearcoat(params)
     fn = jax.jit(lambda p, w, k: step(p, w, k, cc))
     key = rng.stream(0)
-    out = fn(params, wo, key)
-    out.block_until_ready()
+    _ = np.asarray(fn(params, wo, key).x)
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fn(params, wo, rng.fold(key, i))
-    out.block_until_ready()
+    _ = np.asarray(out.x)
     dt = (time.perf_counter() - t0) / n_iters
     # each pixel-sample draws TWO full BSDF samples (specular mixture and
     # diffuse), each with eval + both MIS pdfs
@@ -124,10 +137,11 @@ def bench_render():
 
     scene = buildmod.build(scene_path)
     accel = tracemod.build(scene.geometry)
-    # warm-up at tiny size to absorb compiles outside the timed region
-    wavefront.render(scene, accel, tile_pixels=65536, xres=64, yres=64)
+    # warm-up at the SAME shape so compiles land outside the timed region
+    np.asarray(wavefront.render(scene, accel, tile_pixels=65536)["RGBA"])
     t0 = time.perf_counter()
     out = wavefront.render(scene, accel, tile_pixels=65536)
+    np.asarray(out["RGBA"])  # host fetch: axon completion isn't observable
     dt = time.perf_counter() - t0
     stats = out.get("__stats__", {})
     total = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)

@@ -349,10 +349,8 @@ def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
     clmin_ref,    # (S*G, 3) SMEM cluster AABBs (padded rows degenerate)
     clmax_ref,    # (S*G, 3) SMEM
-    supmin_ref,   # (S, 3) SMEM super-cluster AABBs
-    supmax_ref,   # (S, 3) SMEM
-    order_ref,    # (8, Sp) SMEM int32 SUPER octant traversal orders
-    proj_ref,     # (8, Sp) SMEM f32 ascending min diagonal projections
+    order_ref,    # (8, Cp) SMEM int32 cluster octant traversal orders
+    proj_ref,     # (8, Cp) SMEM f32 ascending min diagonal projections
     meta_ref,     # (8, 128) SMEM f32 per-block meta (row = program_id % 8)
     rays_ref,     # (1, 7, RAY_BLOCK) VMEM
     ex_ref,       # (1, 1, RAY_BLOCK) VMEM int32
@@ -367,10 +365,13 @@ def _nearest_kernel(
     n_clusters: int,
     t_eps: float,
 ):
-    """Two-level ordered walk: supers front-to-back along the block's octant
-    diagonal with an early break on the slowest lane's best t; member
-    clusters slab-tested (statically unrolled) and pair-tested behind a
-    cond only when their box is hit."""
+    """Ordered cluster walk, front-to-back along the block's octant diagonal
+    with an early break on the slowest lane's best t. (A two-level
+    super-cluster variant was measured SLOWER end-to-end on v5e: incoherent
+    GI blocks nearly always hit the fat super boxes and then pay an 8-wide
+    unrolled member descend; the tables remain in PackedScene for future
+    use.) The scene-exit t clamp in _intersect keeps miss lanes from
+    poisoning the break."""
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
     oz = rays_ref[0, 2:3, :]
@@ -427,31 +428,15 @@ def _nearest_kernel(
             jnp.where(better, v_new, v_best),
         )
 
-    def super_step(state):
+    def cluster_step(state):
         li, pc, t_best, tri_best, u_best, v_best, t_worst = state
-        si = order_ref[oct_id, li]
-        stn, stf = _slab(supmin_ref, supmax_ref, si, ox, oy, oz, ix, iy, iz)
-        sup_hit = jnp.any((stf >= jnp.maximum(stn, 0.0)) & (stn < t_best))
-
-        def descend(state):
-            pc = state[0]
-            st = state[1:]
-            for j in range(SUPER_GROUP):
-                ci = si * SUPER_GROUP + j
-                tn, tf = _slab(clmin_ref, clmax_ref, ci,
-                               ox, oy, oz, ix, iy, iz)
-                any_hit = jnp.any(
-                    (tf >= jnp.maximum(tn, 0.0)) & (tn < st[0])
-                )
-                pc = pc + any_hit.astype(jnp.int32)
-                st = jax.lax.cond(
-                    any_hit, lambda s: pair_test(ci, s), lambda s: s, st
-                )
-            return (pc,) + st
-
-        pc, t_best, tri_best, u_best, v_best = jax.lax.cond(
-            sup_hit, descend, lambda s: s,
-            (pc, t_best, tri_best, u_best, v_best),
+        ci = order_ref[oct_id, li]
+        tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
+        any_hit = jnp.any((tf >= jnp.maximum(tn, 0.0)) & (tn < t_best))
+        pc = pc + any_hit.astype(jnp.int32)
+        t_best, tri_best, u_best, v_best = jax.lax.cond(
+            any_hit, lambda s: pair_test(ci, s), lambda s: s,
+            (t_best, tri_best, u_best, v_best),
         )
         t_worst = jnp.max(t_best)
         return li + 1, pc, t_best, tri_best, u_best, v_best, t_worst
@@ -467,7 +452,7 @@ def _nearest_kernel(
         jnp.max(t0),
     )
     li_end, pc_end, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
-        cond, super_step, init
+        cond, cluster_step, init
     )
     t_out[0] = t_best
     tri_out[0] = tri_best
@@ -666,19 +651,13 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
-    meta = _block_meta(
-        packed, rays, packed.n_supers,
-        box_min=packed.sup_min, box_max=packed.sup_max,
-        rank_table=packed.sup_rank,
-    )
+    meta = _block_meta(packed, rays, c)
 
     kernel = partial(_nearest_kernel, n_clusters=c, t_eps=t_eps)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -708,10 +687,8 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
-        packed.sup_min,
-        packed.sup_max,
-        packed.sup_order,
-        packed.sup_proj,
+        packed.oct_order,
+        packed.oct_proj,
         meta,
         rays,
         ex,
