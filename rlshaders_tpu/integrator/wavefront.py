@@ -967,7 +967,8 @@ class TileRenderer:
     device_put) passed as an argument; the compiled tile program is shared
     across tiles, renders, instances and same-shape scenes."""
 
-    def __init__(self, scene: Scene, accel, aa_samples: int):
+    def __init__(self, scene: Scene, accel, aa_samples: int,
+                 xres: int | None = None):
         self.scene = scene
         self.static = SceneStatic.of(scene)
         self.sc = device_scene(scene, accel)
@@ -981,10 +982,12 @@ class TileRenderer:
         )
         # per-unit-distance angular footprint of one pixel (ray-cone spread
         # for texture LOD); AA samples share the pixel footprint like
-        # Arnold's per-pixel ray differentials
+        # Arnold's per-pixel ray differentials. Must track the ACTUAL render
+        # width — a reduced-res render with the scene camera's width keeps
+        # the footprint too small and Moire-aliases the textures.
         pix_spread = float(
             2.0 * np.tan(np.deg2rad(scene.camera.fov_deg) * 0.5)
-            / max(scene.camera.xres, 1)
+            / max(xres or scene.camera.xres, 1)
         )
         self.conf = RenderConf(
             gi_diffuse_depth=o.gi_diffuse_depth,
@@ -1181,7 +1184,7 @@ def render(
         scene.camera, rng.fold(key, 77), aa, opts.filter_width, xres, yres
     )
 
-    tr = TileRenderer(scene, accel, aa)
+    tr = TileRenderer(scene, accel, aa, xres=xres)
 
     tile_rays = min(tile_pixels * n_sub, n_pix * n_sub)
     n_rays = n_pix * n_sub

@@ -91,7 +91,7 @@ def render_sharded(
         scene.camera, rng.fold(key, 77), aa, opts.filter_width, xres, yres
     )
 
-    tr = wavefront.TileRenderer(scene, accel, aa)
+    tr = wavefront.TileRenderer(scene, accel, aa, xres=xres)
     dp = mesh.shape["dp"]
     tile_rays = min(tile_pixels * n_sub, n_rays)
     n_tiles = math.ceil(n_rays / tile_rays)
