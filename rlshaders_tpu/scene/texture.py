@@ -52,15 +52,13 @@ def _downsample2(im: np.ndarray) -> np.ndarray:
 
 
 class TextureStack(NamedTuple):
-    """All mip levels of all textures packed into flat texel arrays.
+    """All mip levels of all textures packed into one flat texel array.
 
-    Texels are stored CHANNEL-SPLIT (three (TOTAL,) planes): a tap is three
-    rank-1 gathers whose outputs stay pad-free on TPU, instead of one
-    (M, 3) gather that pads 43x (core/vec3.py)."""
+    A tap is ONE (M, 3) row gather followed by channel slices (the slices
+    fuse into the gather): measured faster than three rank-1 channel-plane
+    gathers on v5e (gather op count dominates over the output padding)."""
 
-    dx: jnp.ndarray       # (TOTAL,) float32 red plane, row-major per level
-    dy: jnp.ndarray       # (TOTAL,) green
-    dz: jnp.ndarray       # (TOTAL,) blue
+    data: jnp.ndarray     # (TOTAL, 3) float32 texels, row-major per level
     offset: jnp.ndarray   # (N, L) int32 start of (tex, level) in data
     sizes: jnp.ndarray    # (N, L, 2) int32 (h, w) per level (clamped pyramid)
     n_levels: jnp.ndarray  # (N,) int32 number of real levels per texture
@@ -68,9 +66,8 @@ class TextureStack(NamedTuple):
     @staticmethod
     def build(images: list[np.ndarray]) -> "TextureStack":
         if not images:
-            z = jnp.zeros((1,), jnp.float32)
             return TextureStack(
-                dx=z, dy=z, dz=z,
+                data=jnp.zeros((1, 3), jnp.float32),
                 offset=jnp.zeros((1, MAX_LEVELS), jnp.int32),
                 sizes=jnp.ones((1, MAX_LEVELS, 2), jnp.int32),
                 n_levels=jnp.ones((1,), jnp.int32),
@@ -99,11 +96,8 @@ class TextureStack(NamedTuple):
             for l2 in range(lvl, MAX_LEVELS):
                 offs[i, l2] = offs[i, lvl - 1]
                 sizes[i, l2] = sizes[i, lvl - 1]
-        data = np.concatenate(flat, axis=0)
         return TextureStack(
-            dx=jnp.asarray(np.ascontiguousarray(data[:, 0])),
-            dy=jnp.asarray(np.ascontiguousarray(data[:, 1])),
-            dz=jnp.asarray(np.ascontiguousarray(data[:, 2])),
+            data=jnp.asarray(np.concatenate(flat, axis=0)),
             offset=jnp.asarray(offs, jnp.int32),
             sizes=jnp.asarray(sizes, jnp.int32),
             n_levels=jnp.asarray(n_levels, jnp.int32),
@@ -129,14 +123,14 @@ def _cubic_weights(t):
 
 
 def _fetch(stack: TextureStack, tid, lvl, y, x) -> V3:
-    """Gather texels at integer (y, x) on `lvl` with wrap addressing:
-    three rank-1 channel gathers (channel-split storage)."""
+    """Gather texels at integer (y, x) on `lvl` with wrap addressing: one
+    (M, 3) row gather, then channel slices (which fuse into the gather)."""
     h = stack.sizes[tid, lvl, 0]
     w = stack.sizes[tid, lvl, 1]
     yy = jnp.mod(y, h)
     xx = jnp.mod(x, w)
-    idx = stack.offset[tid, lvl] + yy * w + xx
-    return V3(stack.dx[idx], stack.dy[idx], stack.dz[idx])
+    rows = stack.data[stack.offset[tid, lvl] + yy * w + xx]
+    return V3(rows[..., 0], rows[..., 1], rows[..., 2])
 
 
 _TEX_SHIFT = float(__import__("os").environ.get("RLS_TEX_SHIFT", "0.5"))
