@@ -245,9 +245,16 @@ class LightGrid(NamedTuple):
 
 
 def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
-                camera_level) -> LightGrid:
+                camera_level, include_sky=True) -> LightGrid:
     """Build the flat light grid: one chunk of N rows per (light, sample)
-    column, concatenated along axis 0 (column-major)."""
+    column, concatenated along axis 0 (column-major).
+
+    include_sky=False drops the skydome column: for a CONSTANT dome the
+    light strategy samples the same cosine pdf as the diffuse BSDF family,
+    so when both lobe families spawn (camera level) the BSDF pickup at full
+    MIS weight is the identical estimator — and the dome's hemisphere
+    shadow rays (incoherent, unblocked, t=inf) are the most expensive rays
+    in the frame."""
     n = pv.x.shape[0]
     dirs, dists, rads, pdfs = [], [], [], []
     col_w_d, col_w_s, col_nl = [], [], []
@@ -295,12 +302,14 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
         )
         add(ls, s, static.disk_w_d[li], static.disk_w_s[li], s)
 
-    if static.sky_exists:
+    if static.sky_exists and include_sky:
         s = max(static.sky_samples, 1) if camera_level else 1
         u = rng.uniform2(rng.fold(key, 501), (s * n,))
         ls = lightsmod.sample_sky_flat(sc.sky_radiance, vec3.tile(nfv, s), u)
         add(ls, s, static.sky_w_d, static.sky_w_s, s)
 
+    if not dirs:
+        return None  # no light columns (e.g. sky-only scene, dome deduped)
     cat = jnp.concatenate
     return LightGrid(
         wi=V3(cat([d.x for d in dirs]), cat([d.y for d in dirs]),
@@ -401,15 +410,20 @@ def _light_pickup(sc, static, o: V3, d: V3, scene_t, lobe_pdf, nb,
 
 
 def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, miss, lobe_pdf, nb,
-                lobe="specular") -> V3:
+                lobe="specular", full_weight=False) -> V3:
     zero = jnp.zeros_like(lobe_pdf)
     if not static.sky_exists:
         return V3(zero, zero, zero)
     fac = static.sky_w_d if lobe == "diffuse" else static.sky_w_s
     if fac == 0.0:
         return V3(zero, zero, zero)
-    p_l = lightsmod.pdf_sky_v(nf_at_origin, d)
-    w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
+    if full_weight:
+        # the generation's light grid skipped the sky column (constant-dome
+        # dedup, see _light_grid): the BSDF strategy carries all the energy
+        w = 1.0
+    else:
+        p_l = lightsmod.pdf_sky_v(nf_at_origin, d)
+        w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
     sky = sc.sky_radiance
     return V3(sky[0], sky[1], sky[2]) * jnp.where(miss, fac * w, 0.0)
 
@@ -657,26 +671,38 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     nfv = v3(surf.nf)
     frame = build_frame_polar_v(nfv)
     wo = to_local_v(frame, -v3(d))
-    grid = _light_grid(sc, static, pv, nfv, key, camera_level)
-    k = grid.pdf.shape[0] // n
-    sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
-    sh_d = grid.wi.aos()
-    sh_t = grid.dist - 2 * RAY_EPS
-    sh_ex = jnp.tile(surf.tri, k)
-    shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
-    # receive_shadows off (the shared scene's side walls, test_geo.ass:214):
-    # the surface is lit as if unoccluded
-    rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
-    shadowed = vec3.where(rcv, shadowed, 1.0)
+    # constant-dome dedup: when both camera-level BSDF families spawn, the
+    # sky column is redundant with the cosine-sampled diffuse family (same
+    # pdf) — drop its (expensive) hemisphere shadow rays and give the
+    # family's sky pickup full MIS weight
+    sky_in_grid = not (camera_level and static.nb_d > 0 and static.nb_g > 0)
+    grid = _light_grid(sc, static, pv, nfv, key, camera_level,
+                       include_sky=sky_in_grid)
+    if grid is not None:
+        k = grid.pdf.shape[0] // n
+        sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
+        sh_d = grid.wi.aos()
+        sh_t = grid.dist - 2 * RAY_EPS
+        sh_ex = jnp.tile(surf.tri, k)
+        shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
+        # receive_shadows off (the shared scene's side walls,
+        # test_geo.ass:214): the surface is lit as if unoccluded
+        rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
+        shadowed = vec3.where(rcv, shadowed, 1.0)
 
-    # At the camera level the BSDF strategies are the spawned indirect ray
-    # families; at secondary hits both lobes MIS against the 1-sample BSDF
-    # strategy (continuation family or spec_direct fallback). The
-    # reference's AiEvaluateLightSample always runs both strategies.
-    nb_d = static.nb_d if camera_level else 1
-    nb_g = static.nb_g if camera_level else 1
-    diffuse, specular = _direct_reduce(matv, frame, wo, grid, shadowed,
-                                       nb_d, nb_g)
+        # At the camera level the BSDF strategies are the spawned indirect
+        # ray families; at secondary hits both lobes MIS against the
+        # 1-sample BSDF strategy (continuation family or spec_direct
+        # fallback). The reference's AiEvaluateLightSample always runs both
+        # strategies.
+        nb_d = static.nb_d if camera_level else 1
+        nb_g = static.nb_g if camera_level else 1
+        diffuse, specular = _direct_reduce(matv, frame, wo, grid, shadowed,
+                                           nb_d, nb_g)
+    else:
+        zero = jnp.zeros_like(pv.x)
+        diffuse = V3(zero, zero, zero)
+        specular = V3(zero, zero, zero)
     if camera_level and static.has_skin:
         # skin diffuse at camera level is replaced by the SSS probe stage
         diffuse = vec3.where(matv.mtype == MAT_SKIN, 0.0, diffuse)
@@ -713,8 +739,9 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
     nf_rep = vec3.tile(nfv, nb)
     pick = _light_pickup(sc, static, oV, dV, scene_t, pdf1, nb,
                          cam_pickup, lobe=lobe)
+    sky_full = cam_pickup and static.nb_d > 0 and static.nb_g > 0
     pick = pick + _sky_pickup(sc, static, nf_rep, dV, hit.tri < 0, pdf1,
-                              nb, lobe=lobe)
+                              nb, lobe=lobe, full_weight=sky_full)
     return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
 
 
@@ -1037,7 +1064,10 @@ class TileRenderer:
             if v:
                 k += st.disk_samples[i] ** 2 if camera_level else 1
         if st.sky_exists:
-            k += max(st.sky_samples, 1) if camera_level else 1
+            # camera-level grids drop the sky column when both BSDF
+            # families spawn (constant-dome dedup in _gen_shade_t)
+            if not (camera_level and st.nb_d > 0 and st.nb_g > 0):
+                k += max(st.sky_samples, 1) if camera_level else 1
         return k
 
     def _estimate_tile_rays(self, n: int):
