@@ -188,7 +188,10 @@ print(json.dumps(out))
 def main():
     gsps_on = bench_bsdf(clearcoat=0.8)
     gsps_off = bench_bsdf(clearcoat=0.0)
-    mrays, seconds = bench_render()
+    if os.environ.get("RLS_BENCH_RENDER", "1") == "1":
+        mrays, seconds = bench_render()
+    else:
+        mrays, seconds = None, None
     scaling = None
     if os.environ.get("RLS_BENCH_SCALING", "1") == "1":
         scaling = bench_scaling()
