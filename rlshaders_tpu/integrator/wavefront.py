@@ -659,6 +659,7 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     if static.has_bump:
         ns_b = dispatch.apply_bump(
             sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
+            fp=surf.fp,
         )
         sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
         surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])

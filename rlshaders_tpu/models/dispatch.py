@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..bsdf import disney, ggx, orennayar
+from ..bsdf import beckmann, disney, ggx, orennayar
 from ..core import vec3
 from ..core.vec3 import V3, v3
 from ..core.vecmath import dot, normalize
@@ -49,6 +49,7 @@ class MatG(NamedTuple):
     spec_weight: jnp.ndarray      # (..., 3) specular lobe color multiplier
     spec_fresnel_mode: jnp.ndarray  # 0=dielectric ior, 1=Schlick ksn, 2=none
     spec_ksn: jnp.ndarray
+    spec_dist: jnp.ndarray        # 0=GGX, 1=Beckmann (standard cook_torrance)
     ggx: ggx.GGXParams            # GGX lobe (rlGgx / standard / skin specular)
     ggx2: ggx.GGXParams           # skin sheen lobe
     spec2_weight: jnp.ndarray     # (..., 3) sheen lobe multiplier (skin)
@@ -241,6 +242,7 @@ def gather(
         spec_weight=spec_weight,
         spec_fresnel_mode=g.spec_fresnel_mode,
         spec_ksn=g.spec_ksn,
+        spec_dist=g.spec_dist,
         ggx=ggx_p,
         ggx2=ggx2_p,
         spec2_weight=spec2_weight,
@@ -266,22 +268,38 @@ def apply_bump(
     mat_id: jnp.ndarray,
     p: jnp.ndarray,
     ns: jnp.ndarray,
-    eps: float = 5e-3,
+    fp: jnp.ndarray | None = None,
+    eps_min: float = 5e-3,
 ) -> jnp.ndarray:
     """Perturb shading normals by a height map (the bump3d node): finite
     differences of the (projected) texture's luminance along two surface
     tangents. Returns the bumped normal; identity where no bump is bound.
+
+    `fp` is the world-space ray-cone footprint at the hit: both the
+    differencing step and the texture LOD are tied to it (Arnold's bump
+    derivatives ride the dPdx/dPdy shading differentials), which band-limits
+    the height field to the pixel scale — unfiltered full-res taps with a
+    fixed tiny eps produce hard aliased embossing and, where the projection
+    hits the surface at grazing angles (the cup rim in test_geo), large
+    coherent dark patches the reference doesn't show.
     Channel-split throughout; `p`/`ns` are (N, 3) (trace-boundary arrays)."""
     from ..core.frame import build_frame_polar_v
 
     g = jax.tree_util.tree_map(lambda a: a[mat_id], mats)
     has = g.bump_tex >= 0
 
+    if fp is None:
+        eps = jnp.full(mat_id.shape, eps_min, jnp.float32)
+    else:
+        eps = jnp.maximum(fp, eps_min)
+    scale = _proj_uv_scale_table(mats.bump_proj_inv)[mat_id]
+    lod = compute_lod(tex, g.bump_tex, eps * scale)
+
     def height(q: V3):
         lx, ly = _proj_xy(mats.bump_proj_inv, mat_id, q)
         buv = jnp.stack([(lx + 1.0) * 0.5, (ly + 1.0) * 0.5], axis=-1)
         cov = (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
-        rgb = sample_bilinear(tex, g.bump_tex, buv)
+        rgb = sample_bilinear(tex, g.bump_tex, buv, lod)
         lum = 0.212671 * rgb.x + 0.71516 * rgb.y + 0.072169 * rgb.z
         return jnp.where(cov, lum, 0.5)
 
@@ -388,10 +406,19 @@ def eval_specular(m: MatG, wo: V3, wi: V3):
         f_diel,
         jnp.where(m.spec_fresnel_mode == 1, f_schlick, 1.0),
     )
+    # standard's default specular_brdf is cook_torrance: swap the microfacet
+    # D/G (and the matching sampling pdf) for Beckmann, keeping the Fresnel
+    # mode selection above
+    is_beck = m.spec_dist == 1
+    gd = jnp.where(is_beck, beckmann.gd(wo, wi, m.ggx.alpha_g), gd)
     valid = vec3.dot(wi, wi) > 1e-12
     refl = jnp.where(valid, fres * gd * wi.z, 0.0)
     f_ggx = m.spec_weight * refl
-    p_ggx = ggx.pdf(m.ggx, wo, wi)
+    p_ggx = jnp.where(
+        is_beck,
+        beckmann.pdf(wo, wi, m.ggx.alpha_g),
+        ggx.pdf(m.ggx, wo, wi),
+    )
 
     f_dsy = disney.eval_specular_cos(m.dsy, wo, wi)
     p_dsy = disney.pdf_specular(m.dsy, wo, wi)
@@ -425,6 +452,8 @@ def sample_specular(m: MatG, wo: V3, rx, ry) -> V3:
     use_sheen = (rx < 0.5) & has_sheen
     rx_spec = jnp.where(has_sheen, (rx - 0.5) * 2.0, rx)
     wi_ggx, _ = ggx.sample(m.ggx, wo, rx_spec, ry)
+    wi_beck = beckmann.sample(wo, m.ggx.alpha_g, rx_spec, ry)
+    wi_ggx = vec3.where(m.spec_dist == 1, wi_beck, wi_ggx)
     rx_sheen = jnp.where(use_sheen, rx * 2.0, rx)
     wi_sheen, _ = ggx.sample(m.ggx2, wo, rx_sheen, ry)
     wi_skin = vec3.where(use_sheen, wi_sheen, wi_ggx)

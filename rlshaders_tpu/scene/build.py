@@ -88,6 +88,9 @@ class Materials(NamedTuple):
     bump_height: jnp.ndarray     # (M,)
     spec_roughness: jnp.ndarray
     spec_aniso: jnp.ndarray     # rlGgx anisotropic / standard specular_anisotropy
+    spec_dist: jnp.ndarray      # (M,) microfacet NDF: 0 = GGX (rl* shaders),
+                                # 1 = Beckmann (standard's default
+                                # specular_brdf "cook_torrance")
     kt_color: jnp.ndarray
     kt: jnp.ndarray
     ior: jnp.ndarray
@@ -435,7 +438,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             "ks_proj_inv": np.eye(4, dtype=np.float32),
             "bump_tex": -1, "bump_proj": 0,
             "bump_proj_inv": np.eye(4, dtype=np.float32), "bump_height": 0.0,
-            "spec_roughness": 0.4, "spec_aniso": 0.0,
+            "spec_roughness": 0.4, "spec_aniso": 0.0, "spec_dist": 0,
             "kt_color": np.ones(3, np.float32), "kt": 0.0, "ior": 1.0,
             "opacity": np.ones(3, np.float32), "emission": np.zeros(3, np.float32),
             "subsurface": 0.0, "metallic": 0.0, "specular": 0.0,
@@ -544,6 +547,10 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 spec_ksn=scalar_or_link(node.get("Ksn", 0.0))[0],
                 spec_roughness=fnum(node.get("specular_roughness", 0.47)),
                 spec_aniso=0.0,
+                # Arnold standard's default specular_brdf is cook_torrance
+                # (Beckmann); stretched_phong/ward_duer also approximate to
+                # Beckmann here (none of the testsuite scenes set them)
+                spec_dist=0 if node.get("specular_brdf") == "ggx" else 1,
                 ior=1.0,
                 emission=emis,
                 opacity=_gamma_rgb(node.get("opacity", 1.0), 1.0),
