@@ -17,24 +17,35 @@ import jax.numpy as jnp
 ALPHA = 2.0
 
 
+def filter_alpha() -> float:
+    """Gaussian falloff exponent for the pixel filter; RLS_FILTER_ALPHA
+    overrides for empirical matching against the reference's filter."""
+    import os
+
+    return float(os.environ.get("RLS_FILTER_ALPHA", str(ALPHA)))
+
+
 @partial(jax.jit, static_argnames=("xres", "yres", "filter_width",
-                                   "tile_rays"))
+                                   "tile_rays", "alpha"))
 def splat_accum(vals, pixel_full, sub_xy_full, start, image, wsum,
-                xres: int, yres: int, filter_width: float, tile_rays: int):
+                xres: int, yres: int, filter_width: float, tile_rays: int,
+                alpha: float = ALPHA):
     """Slice this tile's pixel/sub_xy out of the frame arrays, splat, and
     accumulate into the running framebuffer — one dispatch per tile."""
     pixel = jax.lax.dynamic_slice(pixel_full, (start,), (tile_rays,))
     sub_xy = jax.lax.dynamic_slice(sub_xy_full, (start, 0), (tile_rays, 2))
-    img_t, ws_t = _splat(vals, pixel, sub_xy, xres, yres, filter_width)
+    img_t, ws_t = _splat(vals, pixel, sub_xy, xres, yres, filter_width, alpha)
     return image + img_t, wsum + ws_t
 
 
-@partial(jax.jit, static_argnames=("xres", "yres", "filter_width"))
-def splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
-    return _splat(vals, pixel, sub_xy, xres, yres, filter_width)
+@partial(jax.jit, static_argnames=("xres", "yres", "filter_width", "alpha"))
+def splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float,
+          alpha: float = ALPHA):
+    return _splat(vals, pixel, sub_xy, xres, yres, filter_width, alpha)
 
 
-def _splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
+def _splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float,
+           alpha: float = ALPHA):
     """Splat per-sample values into the framebuffer.
 
     vals: (N, C) sample payload (RGB + stacked AOV channels).
@@ -47,7 +58,7 @@ def _splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
     """
     n_pix = xres * yres
     radius = filter_width * 0.5
-    gauss_floor = jnp.exp(-ALPHA * radius * radius)
+    gauss_floor = jnp.exp(-alpha * radius * radius)
 
     live = pixel >= 0
     px = jnp.maximum(pixel, 0) % xres
@@ -65,7 +76,7 @@ def _splat(vals, pixel, sub_xy, xres: int, yres: int, filter_width: float):
             dx = sx - (nx.astype(jnp.float32) + 0.5)
             dy = sy - (ny.astype(jnp.float32) + 0.5)
             d2 = dx * dx + dy * dy
-            w = jnp.exp(-ALPHA * d2) - gauss_floor
+            w = jnp.exp(-alpha * d2) - gauss_floor
             w = jnp.where((d2 <= radius * radius) & valid, w, 0.0)
             tgt = jnp.where(valid, ny * xres + nx, n_pix)  # n_pix -> dropped
             image = image.at[tgt].add(vals * w[:, None], mode="drop")

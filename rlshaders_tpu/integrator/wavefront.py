@@ -1238,6 +1238,7 @@ def render(
         image, wsum = splatmod.splat_accum(
             vals, cam_rays.pixel, cam_rays.sub_xy, start, image, wsum,
             xres, yres, float(opts.filter_width), tile_rays,
+            alpha=splatmod.filter_alpha(),
         )
 
     norm = jnp.maximum(wsum, 1e-12)[:, None]
