@@ -14,6 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import rng
 from ..core.vecmath import normalize
 from ..scene.build import Camera
 
@@ -40,14 +41,19 @@ def generate(
     import os as _os
 
     # RLS_APERTURE_SCALE: DOF calibration knob (Arnold aperture_size units
-    # vs our lens-disk radius), exercised by tools/ calibration scripts.
+    # vs our lens-disk radius); RLS_CAM_SHIFT_{X,Y}: sub-pixel raster
+    # calibration (pixels). All read HERE (not inside the jit) so env
+    # changes retrace — exercised by tools/ calibration sweeps.
     ap_scale = float(_os.environ.get("RLS_APERTURE_SCALE", "1"))
+    shx = float(_os.environ.get("RLS_CAM_SHIFT_X", "0"))
+    shy = float(_os.environ.get("RLS_CAM_SHIFT_Y", "0"))
     return _j_generate(
         cam.c2w, key, aa_samples=aa_samples,
         fov_deg=float(cam.fov_deg),
         focus_distance=float(cam.focus_distance),
         aperture_size=float(cam.aperture_size) * ap_scale,
         xres=int(xres or cam.xres), yres=int(yres or cam.yres),
+        shx=shx, shy=shy,
     )
 
 
@@ -55,11 +61,11 @@ def generate(
     jax.jit,
     static_argnames=(
         "aa_samples", "fov_deg", "focus_distance", "aperture_size",
-        "xres", "yres",
+        "xres", "yres", "shx", "shy",
     ),
 )
 def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
-                aperture_size, xres, yres) -> CameraRays:
+                aperture_size, xres, yres, shx=0.0, shy=0.0) -> CameraRays:
     from types import SimpleNamespace
 
     cam = SimpleNamespace(
@@ -73,25 +79,33 @@ def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
     ix = (px % xres).astype(jnp.float32)
     iy = (px // xres).astype(jnp.float32)
 
-    # stratified subpixel offsets
-    sub = jnp.arange(n_sub, dtype=jnp.float32)
-    sx = jnp.mod(sub, aa_samples)
-    sy = jnp.floor(sub / aa_samples)
-    jitter = jax.random.uniform(key, (xres * yres, n_sub, 2))
-    ox = (sx[None, :] + jitter[..., 0]) / aa_samples  # in [0,1)
-    oy = (sy[None, :] + jitter[..., 1]) / aa_samples
+    # per-pixel Owen-Sobol subpixel positions: AA lane a takes sequence
+    # point a of the pixel's (0,2) stream — jointly stratified with better
+    # 2D discrepancy than an aa x aa jittered grid, and the same stream
+    # family the in-shader samplers extend (core/rng.py)
+    def _pix_sobol(purpose):
+        salt = jax.random.bits(jax.random.fold_in(key, 9), (), jnp.uint32)
+        seed = jnp.broadcast_to(
+            rng._stream_seed(px, purpose, salt)[:, None],
+            (xres * yres, n_sub),
+        )
+        idx = jnp.broadcast_to(
+            jnp.arange(n_sub, dtype=jnp.uint32)[None, :],
+            (xres * yres, n_sub),
+        )
+        return rng.sobol2(idx.reshape(-1), seed.reshape(-1)).reshape(
+            xres * yres, n_sub, 2
+        )
+
+    sub_uv = _pix_sobol(1)
+    ox = sub_uv[..., 0]
+    oy = sub_uv[..., 1]
 
     # the gaussian pixel filter is applied by cross-pixel splatting in
     # render() (Arnold filter semantics); samples carry their subpixel
     # position instead of a weight
     w = jnp.ones_like(ox)
 
-    # RLS_CAM_SHIFT_{X,Y}: sub-pixel screen-window calibration knobs (pixels)
-    # for matching Arnold's raster convention against the goldens
-    import os as _os
-
-    shx = float(_os.environ.get("RLS_CAM_SHIFT_X", "0"))
-    shy = float(_os.environ.get("RLS_CAM_SHIFT_Y", "0"))
     x = (ix[:, None] + ox + shx) / xres * 2.0 - 1.0
     y = 1.0 - (iy[:, None] + oy + shy) / yres * 2.0
     aspect = yres / xres
@@ -111,8 +125,7 @@ def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
 
     o = jnp.broadcast_to(pos, d_world.shape)
     if cam.aperture_size > 0.0:
-        k1, k2 = jax.random.split(jax.random.fold_in(key, 7))
-        u = jax.random.uniform(k1, (xres * yres, n_sub, 2))
+        u = _pix_sobol(2)  # lens-disk samples: an independently-scrambled pad
         r = jnp.sqrt(u[..., 0]) * cam.aperture_size
         phi = u[..., 1] * 2.0 * jnp.pi
         lens = (r * jnp.cos(phi))[..., None] * right + (r * jnp.sin(phi))[

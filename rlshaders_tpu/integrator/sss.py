@@ -200,10 +200,11 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
     return out
 
 
-@partial(jax.jit, static_argnames=("static", "n_sss", "gi_diffuse", "k_probe"))
+@partial(jax.jit, static_argnames=("static", "n_sss", "gi_diffuse", "k_probe",
+                                   "use_sobol"))
 def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
-           sss_color, sss_weight, cavity_flag, key, *, n_sss, gi_diffuse,
-           k_probe):
+           sss_color, sss_weight, cavity_flag, key, pix=None, aa=None,
+           salt=None, *, n_sss, gi_diffuse, k_probe, use_sobol=False):
     """The fused probe-march SSS program (all K_PROBE traces inside)."""
     n0 = surf_p.shape[0]
     profile0 = sp.make_nd_profile(sss_dist)  # fields (N0, ...)
@@ -222,9 +223,15 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
     cav_f = rep(cavity_flag)
     nf_total = n0 * s_total
 
-    u = rng.stratified2(rng.fold(key, 1), (n0,), int(n_sss ** 0.5)).reshape(
-        nf_total, 2
-    )
+    if use_sobol:
+        # per-pixel jointly-stratified disc samples: lane-major layout
+        # matches the jnp.repeat(..., s_total) probe batch above.
+        # 604<<8 = wavefront.P_SSS (kept literal: no circular import).
+        u = rng.sobol2_rep(pix, aa, s_total, 604 << 8, salt)
+    else:
+        u = rng.stratified2(
+            rng.fold(key, 1), (n0,), int(n_sss ** 0.5)
+        ).reshape(nf_total, 2)
     o_probe, d_probe, maxdist, _r = _probe_rays(
         prof_f, frame_f, p_f, u[:, 0], u[:, 1]
     )
@@ -386,16 +393,18 @@ def sss_stage(tr, sss_in, key, n_sss=None, k_probe=K_PROBE):
     is_sss = (sss_in.sss_weight > 1e-5) & sss_in.valid
     n0 = sss_in.p.shape[0]
 
-    def run(p, ns_, mesh, mask, dist, color, weight, cav, nlanes):
+    def run(p, ns_, mesh, mask, dist, color, weight, cav, pix, aa, nlanes):
         tr.stats["nearest_rays"] += nlanes * s * k_probe
         return _j_sss(
             tr.sc, tr.static, p, ns_, mesh, mask, dist, color, weight, cav,
-            key, n_sss=s, gi_diffuse=int(opts.gi_diffuse_depth),
-            k_probe=k_probe,
+            key, pix, aa, sss_in.salt, n_sss=s,
+            gi_diffuse=int(opts.gi_diffuse_depth), k_probe=k_probe,
+            use_sobol=True,
         )
 
     full = (sss_in.p, sss_in.ns, sss_in.mesh_id, is_sss, sss_in.sss_dist,
-            sss_in.sss_color, sss_in.sss_weight, sss_in.cavity_fadeout)
+            sss_in.sss_color, sss_in.sss_weight, sss_in.cavity_fadeout,
+            sss_in.pix, sss_in.aa)
     if isinstance(is_sss, jax.core.Tracer):
         return run(*full, n0)
 
@@ -413,6 +422,6 @@ def sss_stage(tr, sss_in, key, n_sss=None, k_probe=K_PROBE):
     out = run(
         sss_in.p[idx], sss_in.ns[idx], sss_in.mesh_id[idx], is_sss[idx],
         sss_in.sss_dist[idx], sss_in.sss_color[idx], sss_in.sss_weight[idx],
-        sss_in.cavity_fadeout[idx], bucket,
+        sss_in.cavity_fadeout[idx], sss_in.pix[idx], sss_in.aa[idx], bucket,
     )
     return jnp.zeros((n0, 3), jnp.float32).at[idx].set(out)

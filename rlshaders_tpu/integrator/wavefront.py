@@ -179,7 +179,7 @@ class Surface(NamedTuple):
 
 
 def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
-             base_fp=None, spread=None) -> Surface:
+             base_fp=None, spread=None, ff_shade=False) -> Surface:
     g = sc.geometry
     tri = jnp.maximum(tri_in, 0)
     valid = tri_in >= 0
@@ -199,7 +199,22 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     uv0, uv1, uv2 = g.uv0[tri], g.uv1[tri], g.uv2[tri]
     uv = w[..., None] * uv0 + uu[..., None] * uv1 + vv[..., None] * uv2
     entering = vec3.dot(ng, dv) < 0.0
-    sign = jnp.where(vec3.dot(ns, dv) < 0.0, 1.0, -1.0)
+    # Faceforward the shading normal by its OWN side (ns·d), not the
+    # geometric side: on coarsely-tessellated curved meshes the per-facet
+    # ng·d sign flips facet-to-facet across grazing zones while the smooth
+    # ns does not — flipping nf with the facet turns shading on/off per AA
+    # sample and shreds grazing highlights into ±highlight-amplitude grain
+    # (measured on golden 0003/0008: masked RMSE 0.025→0.041 / 0.034→0.056
+    # with geometric flipping; the reference's smooth anisotropic highlight
+    # confirms the host flips by the shading normal). RLS_FACEFORWARD=geom
+    # is kept as an A/B calibration knob (carried in RenderConf so variants
+    # retrace). Do NOT nudge straddle normals into the view hemisphere
+    # either: near-zero cosines in the specular weights speckle grazing
+    # highlights with fireflies (0003: 0.025→0.041 with a 1e-3 nudge).
+    if ff_shade:
+        sign = jnp.where(vec3.dot(ns, dv) < 0.0, 1.0, -1.0)
+    else:
+        sign = jnp.where(entering, 1.0, -1.0)
     nf = ns * sign
 
     # Ray-cone footprint for texture LOD (Arnold tracks dPdx/dPdy ray
@@ -229,6 +244,31 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     )
 
 
+class SampleCtx(NamedTuple):
+    """Per-lane sampler addressing for the camera-level generation: the flat
+    pixel id and AA-sample index of every lane, plus a per-render salt. The
+    Owen-Sobol draws (core/rng.sobol2_flat) key on (pixel, purpose, salt) and
+    index on (aa * count + k), so a pixel's whole AA^2 * n^2 budget for each
+    integral is ONE jointly-stratified (0,2) sequence — the host sampler's
+    'sample counts multiply' behaviour. None at secondary hits (whose lanes
+    are sample-tiled and whose integrands differ per lane)."""
+
+    pix: jnp.ndarray   # (N,) int32 flat pixel index
+    aa: jnp.ndarray    # (N,) int32 AA-sample index in [0, n_sub)
+    salt: jnp.ndarray  # () uint32
+
+
+# purpose ids for the per-(pixel, purpose) sobol streams; light columns add
+# their light index
+P_QUAD = 101 << 8
+P_DISK = 301 << 8
+P_SKY = 501 << 8
+P_DIFFUSE = 601 << 8
+P_GLOSSY = 602 << 8
+P_REFRACT = 603 << 8
+P_SSS = 604 << 8
+
+
 class LightGrid(NamedTuple):
     """The light-sample grid for one shading batch, FLAT channel-split form:
     K columns x N rays stored column-major (column c = rows [c*N, (c+1)*N))
@@ -245,7 +285,8 @@ class LightGrid(NamedTuple):
 
 
 def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
-                camera_level, include_sky=True) -> LightGrid:
+                camera_level, include_sky=True, ctx: SampleCtx = None
+                ) -> LightGrid:
     """Build the flat light grid: one chunk of N rows per (light, sample)
     column, concatenated along axis 0 (column-major).
 
@@ -274,11 +315,12 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
             continue
         s_per = static.quad_samples[li] if camera_level else 1
         s = s_per * s_per
-        u = (
-            rng.stratified2_flat(rng.fold(key, 101, li), n, s_per)
-            if s > 1
-            else rng.uniform2(rng.fold(key, 101, li), (n,))
-        )
+        if ctx is not None:
+            u = rng.sobol2_flat(ctx.pix, ctx.aa, s, P_QUAD + li, ctx.salt)
+        elif s > 1:
+            u = rng.stratified2_flat(rng.fold(key, 101, li), n, s_per)
+        else:
+            u = rng.uniform2(rng.fold(key, 101, li), (n,))
         ls = lightsmod.sample_quad_flat(
             ql.verts[li], ql.normal[li], ql.area[li], ql.radiance[li],
             vec3.tile(pv, s), u,
@@ -291,11 +333,12 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
             continue
         s_per = static.disk_samples[li] if camera_level else 1
         s = s_per * s_per
-        u = (
-            rng.stratified2_flat(rng.fold(key, 301, li), n, s_per)
-            if s > 1
-            else rng.uniform2(rng.fold(key, 301, li), (n,))
-        )
+        if ctx is not None:
+            u = rng.sobol2_flat(ctx.pix, ctx.aa, s, P_DISK + li, ctx.salt)
+        elif s > 1:
+            u = rng.stratified2_flat(rng.fold(key, 301, li), n, s_per)
+        else:
+            u = rng.uniform2(rng.fold(key, 301, li), (n,))
         ls = lightsmod.sample_disk_flat(
             dl.center[li], dl.u[li], dl.v[li], dl.normal[li], dl.area[li],
             dl.radiance[li], vec3.tile(pv, s), u,
@@ -304,7 +347,10 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
 
     if static.sky_exists and include_sky:
         s = max(static.sky_samples, 1) if camera_level else 1
-        u = rng.uniform2(rng.fold(key, 501), (s * n,))
+        if ctx is not None:
+            u = rng.sobol2_flat(ctx.pix, ctx.aa, s, P_SKY, ctx.salt)
+        else:
+            u = rng.uniform2(rng.fold(key, 501), (s * n,))
         ls = lightsmod.sample_sky_flat(sc.sky_radiance, vec3.tile(nfv, s), u)
         add(ls, s, static.sky_w_d, static.sky_w_s, s)
 
@@ -496,12 +542,17 @@ def _tile_frame(frame: Frame, k: int) -> Frame:
     )
 
 
-def _spawn(sc, static, surf, pv, matv, frame, wo, key, lobe, nb):
+def _spawn(sc, static, surf, pv, matv, frame, wo, key, lobe, nb,
+           ctx: SampleCtx = None):
     """BSDF-sample nb rays per hit for one lobe; returns flat V3 rays +
     per-sample weights/pdfs in SAMPLE-MAJOR chunks (sample s = rows
     [s*N, (s+1)*N), matching vec3.tile/ksum)."""
     n = pv.x.shape[0]
-    u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
+    if ctx is not None:
+        purpose = P_DIFFUSE if lobe == "diffuse" else P_GLOSSY
+        u = rng.sobol2_flat(ctx.pix, ctx.aa, nb, purpose, ctx.salt)
+    else:
+        u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
     matv_b = dispatch.tile_v(matv, nb)
     wo_b = vec3.tile(wo, nb)
     if lobe == "diffuse":
@@ -621,6 +672,8 @@ class RenderConf(NamedTuple):
     nb_g: int
     nb_r: int
     pix_spread: float
+    n_sub: int  # AA samples per pixel (aa^2): the SampleCtx lane decode
+    ff_shade: bool  # faceforward by ns·d instead of the geometric side
 
 
 class SSSIn(NamedTuple):
@@ -634,6 +687,9 @@ class SSSIn(NamedTuple):
     sss_dist: jnp.ndarray
     sss_color: jnp.ndarray
     cavity_fadeout: jnp.ndarray
+    pix: jnp.ndarray   # (N,) sampler addressing (SampleCtx of the tile)
+    aa: jnp.ndarray    # (N,)
+    salt: jnp.ndarray  # ()
 
 
 # ---------------------------------------------------------------------------
@@ -644,7 +700,8 @@ class SSSIn(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
-                 indirect_scaled, base_fp=None, spread=None, trace_pack=None):
+                 indirect_scaled, base_fp=None, spread=None, trace_pack=None,
+                 ctx: SampleCtx = None):
     n = o.shape[0]
     if base_fp is None:
         base_fp = jnp.zeros((n,), jnp.float32)
@@ -655,7 +712,8 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         trace_pack = (hit.t, hit.tri, hit.u, hit.v)
     t, tri, uu, vv = trace_pack
 
-    surf = _surface(sc, t, tri, uu, vv, o, d, base_fp, spread)
+    surf = _surface(sc, t, tri, uu, vv, o, d, base_fp, spread,
+                    ff_shade=conf.ff_shade)
     if static.has_bump:
         ns_b = dispatch.apply_bump(
             sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
@@ -678,7 +736,7 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     # family's sky pickup full MIS weight
     sky_in_grid = not (camera_level and static.nb_d > 0 and static.nb_g > 0)
     grid = _light_grid(sc, static, pv, nfv, key, camera_level,
-                       include_sky=sky_in_grid)
+                       include_sky=sky_in_grid, ctx=ctx)
     if grid is not None:
         k = grid.pdf.shape[0] // n
         sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
@@ -727,11 +785,11 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
 
 
 def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
-              nb, cam_pickup):
+              nb, cam_pickup, ctx: SampleCtx = None):
     """Spawn + trace + analytic light/sky pickup for one lobe family.
     Returns AoS ray arrays (trace boundary) + V3 weights/pickup."""
     oV, dV, w1, pdf1, ok1 = _spawn(sc, static, surf, pv, matv, frame, wo,
-                                   key, lobe, nb)
+                                   key, lobe, nb, ctx=ctx)
     vis = VIS_DIFFUSE if lobe == "diffuse" else VIS_GLOSSY
     o1 = oV.aos()
     d1 = dV.aos()
@@ -746,11 +804,15 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
     return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
 
 
-def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb):
+def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb,
+            ctx: SampleCtx = None):
     """Rough-refraction spawn (Walter Eq.41 weights) + trace. Sample-major
     flat layout like _spawn."""
     n = pv.x.shape[0]
-    u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
+    if ctx is not None:
+        u = rng.sobol2_flat(ctx.pix, ctx.aa, nb, P_REFRACT, ctx.salt)
+    else:
+        u = rng.stratified2_flat(key, n, int(np.sqrt(nb)))
     matv_b = dispatch.tile_v(matv, nb)
     wo_b = vec3.tile(wo, nb)
     wi_l, wgt = dispatch.sample_refract(matv_b, wo_b, u[:, 0], u[:, 1])
@@ -769,7 +831,7 @@ def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb):
 
 def _lobe_family_full(sc, static, conf, surf, pv, nfv, matv, frame, wo, key,
                       lobe, nb, rr, indirect_scaled, cam_pickup=False,
-                      scale=None) -> V3:
+                      scale=None, ctx: SampleCtx = None) -> V3:
     """Family + one-deeper recursion. At secondary hits the deeper surface
     radiance counts only for `standard`-shader materials: the reference
     plugins integrate indirect at CAMERA hits only (rlGgx.cpp:307-323
@@ -778,7 +840,7 @@ def _lobe_family_full(sc, static, conf, surf, pv, nfv, matv, frame, wo, key,
     n = pv.x.shape[0]
     o1, d1, w1, pick, tp1 = _family_t(
         sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe, nb,
-        cam_pickup,
+        cam_pickup, ctx=ctx,
     )
     if lobe == "diffuse":
         spread1 = jnp.full((n * nb,), 1.0, jnp.float32)
@@ -843,7 +905,7 @@ def _secondary_indirect_t(sc, static, conf, surf, pv, nfv, matv, frame, wo,
 def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
                         indirect_scaled, is_refraction, rr=(0, 0, 0, 0),
                         ray_lobe="camera", base_fp=None, spread=None,
-                        trace_pack=None):
+                        trace_pack=None, ctx: SampleCtx = None):
     """Trace + fully shade one ray generation; returns (surf pack, rgb,
     aov_d, aov_s). `rr` = (Rr_diff, Rr_gloss, Rr_refr, Rr) recursion
     counters AT this hit (the shader-globals depth fields the reference
@@ -852,7 +914,7 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
     surf, matg, matv, pv, nfv, frame, wo, rgb, aov_d, aov_s, tp = (
         _gen_shade_t(
             sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
-            base_fp, spread, trace_pack,
+            base_fp, spread, trace_pack, ctx=ctx,
         )
     )
     tri = tp[1]
@@ -902,8 +964,8 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
 
 
 @partial(jax.jit, static_argnames=("static", "conf", "tile_rays"))
-def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
-            tile_rays):
+def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
+            start, key, *, tile_rays):
     """ONE compiled program for a full tile: slice the tile's rays out of
     the frame arrays, then the whole generation tree (every trace, shadow
     batch, continuation and splice), minus the host-compacted camera-level
@@ -912,12 +974,25 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
     direction = jax.lax.dynamic_slice(
         direction_full, (start, 0), (tile_rays, 3)
     )
+    pixel = jax.lax.dynamic_slice(pixel_full, (start,), (tile_rays,))
     n0 = tile_rays
+    # camera-level sampler addressing: the per-lane GLOBAL pixel id comes
+    # from the frame's pixel array (correct under any tiling, including the
+    # sharded path where start is shard-local); the AA index decodes from
+    # the lane position since frame rays are pixel-major with conf.n_sub
+    # consecutive AA lanes per pixel and tiles are n_sub-aligned. Padding
+    # lanes carry pixel=-1 — their draws are never splatted.
+    lane = start + jnp.arange(tile_rays, dtype=jnp.int32)
+    ctx = SampleCtx(
+        pix=pixel,
+        aa=lane % conf.n_sub,
+        salt=jax.random.bits(rng.fold(key, 3141), (), jnp.uint32),
+    )
     pack, rgb, aov_dd, aov_ds = _shade_generation_t(
         sc, static, conf, origin, direction, rng.fold(key, 0), VIS_CAMERA,
         camera_level=True, indirect_scaled=False, is_refraction=False,
         # camera-level depth gates are the explicit families below
-        rr=(99, 99, 99, 99), ray_lobe="camera",
+        rr=(99, 99, 99, 99), ray_lobe="camera", ctx=ctx,
     )
     surf0, matg0, matv0, pv0, nfv0, frame0, wo0 = pack
     if static.sky_exists:
@@ -936,7 +1011,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
             sc, static, conf, surf0, pv0, nfv0, matv0, frame0, wo0,
             rng.fold(key, 1),
             "diffuse", conf.nb_d, (1, 0, 0, 1), indirect_scaled=True,
-            cam_pickup=True, scale=scale,
+            cam_pickup=True, scale=scale, ctx=ctx,
         )
         aovs["indirect_diffuse"] = c.aos()
         rgb = rgb + c
@@ -951,7 +1026,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
             sc, static, conf, surf0, pv0, nfv0, matv0, frame0, wo0,
             rng.fold(key, 2),
             "specular", conf.nb_g, (0, 1, 0, 1), indirect_scaled=True,
-            cam_pickup=True, scale=scale,
+            cam_pickup=True, scale=scale, ctx=ctx,
         )
         aovs["indirect_specular"] = c.aos()
         rgb = rgb + c
@@ -961,7 +1036,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
     if conf.nb_r:
         o1, d1, wgt, ok, tp1 = _refr_t(
             sc, static, conf, surf0, pv0, matv0, frame0, wo0,
-            rng.fold(key, 3), conf.nb_r,
+            rng.fold(key, 3), conf.nb_r, ctx=ctx,
         )
         _, sub_rgb, _, _ = _shade_generation_t(
             sc, static, conf, o1, d1, rng.fold(key, 13), VIS_REFRACTED,
@@ -984,6 +1059,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, start, key, *,
         p=surf0.p, ns=surf0.ns, mesh_id=surf0.mesh_id, valid=surf0.valid,
         sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist.aos(),
         sss_color=matg0.sss_color.aos(), cavity_fadeout=matg0.cavity_fadeout,
+        pix=ctx.pix, aa=ctx.aa, salt=ctx.salt,
     )
     return rgb.aos(), aovs, sss_in
 
@@ -1027,6 +1103,8 @@ class TileRenderer:
             nb_g=self.static.nb_g,
             nb_r=nb_r,
             pix_spread=pix_spread,
+            n_sub=aa_samples * aa_samples,
+            ff_shade=os.environ.get("RLS_FACEFORWARD", "shade") == "shade",
         )
         self.nb_d, self.nb_g, self.nb_r = (
             self.conf.nb_d, self.conf.nb_g, self.conf.nb_r
@@ -1120,16 +1198,17 @@ class TileRenderer:
 
     def render_tile(self, rays: cameramod.CameraRays, key):
         return self.render_tile_at(
-            rays.origin, rays.direction, 0, rays.origin.shape[0], key
+            rays.origin, rays.direction, rays.pixel, 0,
+            rays.origin.shape[0], key,
         )
 
-    def render_tile_at(self, origin_full, direction_full, start, tile_rays,
-                       key):
+    def render_tile_at(self, origin_full, direction_full, pixel_full, start,
+                       tile_rays, key):
         self._estimate_tile_rays(tile_rays)
         rgb, aovs, sss_in = self._run(
             "tile", _j_tile,
             self.sc, self.static, self.conf, origin_full, direction_full,
-            start, key, tile_rays=tile_rays,
+            pixel_full, start, key, tile_rays=tile_rays,
         )
         if self.static.has_skin and self.conf.gi_sss_samples > 0:
             from . import sss as sssmod
@@ -1228,8 +1307,8 @@ def render(
     for ti in range(n_tiles):
         start = ti * tile_rays
         rgb, aovs = tr.render_tile_at(
-            cam_rays.origin, cam_rays.direction, start, tile_rays,
-            rng.fold(key, 1000 + ti),
+            cam_rays.origin, cam_rays.direction, cam_rays.pixel, start,
+            tile_rays, rng.fold(key, 1000 + ti),
         )
         vals, names = splatmod.pack_aovs(rgb, aovs)
         if image is None:

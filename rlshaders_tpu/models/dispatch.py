@@ -119,12 +119,14 @@ def gather(
     is_proj = jnp.zeros(mat_id.shape, bool)
     if p is not None:
         # planar projection: local = p @ inv(placement); uv = (local+1)/2;
-        # outside the unit square the projection yields its defaultColor
+        # outside the unit square: proj==2 (`wrap on`) tiles the image,
+        # proj==1 yields the projection's defaultColor
         lx, ly = _proj_xy(mats.kd_proj_inv, mat_id, pvv)
         proj_uv = jnp.stack([(lx + 1.0) * 0.5, (ly + 1.0) * 0.5], axis=-1)
-        is_proj = g.kd_proj == 1
+        is_proj = g.kd_proj >= 1
+        wrap = g.kd_proj == 2
         uv = jnp.where(is_proj[..., None], proj_uv, uv)
-        in_coverage = ~is_proj | (
+        in_coverage = ~is_proj | wrap | (
             (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
         )
     lod = None
@@ -169,7 +171,7 @@ def gather(
         # alpha-less files; outside a projection's coverage alpha is 0
         klx, kly = _proj_xy(mats.ks_proj_inv, mat_id, pvv)
         kuv = jnp.where(
-            (g.ks_proj == 1)[..., None],
+            (g.ks_proj >= 1)[..., None],
             jnp.stack([(klx + 1.0) * 0.5, (kly + 1.0) * 0.5], axis=-1),
             uv,
         )
@@ -180,7 +182,7 @@ def gather(
         if fp is not None:
             k_fpu = fp * _proj_uv_scale_table(mats.ks_proj_inv)[mat_id]
             if fp_uv is not None:
-                k_fpu = jnp.where(g.ks_proj == 1, k_fpu, fp_uv)
+                k_fpu = jnp.where(g.ks_proj >= 1, k_fpu, fp_uv)
             k_lod = compute_lod(tex, g.ks_tex, k_fpu)
         k_rgb = sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod)
         k_alpha = jnp.clip(
@@ -298,7 +300,9 @@ def apply_bump(
     def height(q: V3):
         lx, ly = _proj_xy(mats.bump_proj_inv, mat_id, q)
         buv = jnp.stack([(lx + 1.0) * 0.5, (ly + 1.0) * 0.5], axis=-1)
-        cov = (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
+        cov = (g.bump_proj == 2) | (
+            (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
+        )
         rgb = sample_bilinear(tex, g.bump_tex, buv, lod)
         lum = 0.212671 * rgb.x + 0.71516 * rgb.y + 0.072169 * rgb.z
         return jnp.where(cov, lum, 0.5)

@@ -342,7 +342,12 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 node.get("placementMatrix", np.eye(4, dtype=np.float32)), np.float32
             ).reshape(4, 4)
             out = dict(inner)
-            out["proj"] = 1
+            # proj 1 = planar with defaultColor outside the unit square,
+            # proj 2 = planar with `wrap on` (Maya projection wrap: the
+            # image tiles outside coverage instead of falling back to
+            # defaultColor — the testsuite's SA_logo projections rely on
+            # this at the logo disc's rim)
+            out["proj"] = 2 if bool(node.get("wrap", True)) else 1
             # Maya's place3dTexture feeds its worldInverseMatrix into
             # projection nodes: placementMatrix already maps world -> local
             full = np.eye(4, dtype=np.float32)

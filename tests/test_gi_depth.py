@@ -17,6 +17,9 @@ import os
 
 import numpy as np
 
+# NB: quad windings below are consistent with their nlist normals (good
+# scene hygiene; also keeps the test valid under the RLS_FACEFORWARD=geom
+# A/B knob, which flips shading normals by the geometric side).
 SCENE_TMPL = """
 options
 {{
@@ -87,7 +90,7 @@ polymesh
  name wallA
  nsides 4
  vidxs 4 1 UINT
-0 1 3 2
+0 2 3 1
  vlist 4 1 POINT
 0 0 40 0 40 40 0 0 -40 0 40 -40
  nlist 4 1 VECTOR
@@ -108,7 +111,7 @@ polymesh
  name wallB
  nsides 4
  vidxs 4 1 UINT
-0 1 3 2
+0 2 3 1
  vlist 4 1 POINT
 6 0 40 6 0 -40 6 40 40 6 40 -40
  nlist 4 1 VECTOR
@@ -129,7 +132,7 @@ polymesh
  name blocker
  nsides 4
  vidxs 4 1 UINT
-0 1 3 2
+0 2 3 1
  vlist 4 1 POINT
 1 2.75 -0.5 1 2.75 0.5 1 3.75 -0.5 1 3.75 0.5
  nlist 4 1 VECTOR
