@@ -81,6 +81,8 @@ class DeviceScene(NamedTuple):
     sky_radiance: jnp.ndarray  # (3,)
     textures: "object"     # scene.texture.TextureStack
     accel: "object"        # accel.trace.Accel (BVH arrays + Pallas packing)
+    lod_bias: jnp.ndarray  # () texture-minification calibration (traced so
+    #                        RLS_LOD_BIAS sweeps reuse the compiled program)
 
 
 class SceneStatic(NamedTuple):
@@ -160,6 +162,9 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
         sky_radiance=jnp.asarray(sky_rad, jnp.float32),
         textures=scene.textures,
         accel=accel,
+        lod_bias=jnp.asarray(
+            float(os.environ.get("RLS_LOD_BIAS", "0")), jnp.float32
+        ),
     ))
 
 
@@ -724,6 +729,7 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     matg = dispatch.gather(
         sc.materials, sc.textures, surf.mat_id, surf.uv,
         surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
+        lod_bias=sc.lod_bias,
     )
     matv = dispatch.to_v(matg)
     pv = v3(surf.p)

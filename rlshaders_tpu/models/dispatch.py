@@ -99,6 +99,7 @@ def gather(
     p: jnp.ndarray | None = None,
     fp: jnp.ndarray | None = None,
     fp_uv: jnp.ndarray | None = None,
+    lod_bias: float = 0.0,
 ) -> MatG:
     """Gather material rows for a hit batch and precompute lobe parameters.
 
@@ -135,7 +136,7 @@ def gather(
         if p is not None and fp is not None:
             kd_scale = _proj_uv_scale_table(mats.kd_proj_inv)[mat_id]
             fpu = jnp.where(is_proj, fp * kd_scale, fp_uv)
-        lod = compute_lod(tex, g.kd_tex, fpu)
+        lod = compute_lod(tex, g.kd_tex, fpu, lod_bias)
     tex_raw = sample_smart_bicubic(tex, g.kd_tex, uv, lod)
     # Maya file-node color balance: tex*gain + offset, with the node's
     # `invert` flag already folded into (gain, offset) by scene/build.py
@@ -183,7 +184,7 @@ def gather(
             k_fpu = fp * _proj_uv_scale_table(mats.ks_proj_inv)[mat_id]
             if fp_uv is not None:
                 k_fpu = jnp.where(g.ks_proj >= 1, k_fpu, fp_uv)
-            k_lod = compute_lod(tex, g.ks_tex, k_fpu)
+            k_lod = compute_lod(tex, g.ks_tex, k_fpu, lod_bias)
         k_rgb = sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod)
         k_alpha = jnp.clip(
             0.212671 * k_rgb.x + 0.71516 * k_rgb.y + 0.072169 * k_rgb.z,

@@ -179,19 +179,17 @@ def _bilinear_level(stack: TextureStack, tid, lvl, uv) -> V3:
 
 
 def compute_lod(stack: TextureStack, tex_id: jnp.ndarray,
-                fp_uv: jnp.ndarray) -> jnp.ndarray:
+                fp_uv: jnp.ndarray, bias: float = 0.0) -> jnp.ndarray:
     """Continuous mip level from a UV-space footprint (texels covered =
-    fp_uv * native size; lod = log2 of that)."""
+    fp_uv * native size; lod = log2 of that). `bias` (levels) is the
+    texture-minification calibration knob against Arnold's smart_bicubic
+    footprint (RLS_LOD_BIAS, threaded through RenderConf so sweeps
+    retrace)."""
     tid = jnp.maximum(tex_id, 0)
     w = stack.sizes[tid, 0, 1].astype(jnp.float32)
     h = stack.sizes[tid, 0, 0].astype(jnp.float32)
     texels = fp_uv * jnp.maximum(h, w)
-    lod = jnp.log2(jnp.maximum(texels, 1e-12))
-    # RLS_LOD_BIAS: texture-minification calibration knob (levels) against
-    # Arnold's smart_bicubic footprint, exercised by tools/ scripts.
-    import os as _os
-
-    lod = lod + float(_os.environ.get("RLS_LOD_BIAS", "0"))
+    lod = jnp.log2(jnp.maximum(texels, 1e-12)) + bias
     top = (stack.n_levels[tid] - 1).astype(jnp.float32)
     return jnp.clip(lod, 0.0, top)
 
