@@ -107,6 +107,8 @@ class SceneStatic(NamedTuple):
     has_transparent: bool
     nb_d: int              # camera-level BSDF-strategy counts for MIS
     nb_g: int
+    tex_gamma: float       # texture_gamma: decode applied AFTER filtering
+    #                        (textures are stored/filtered in STORAGE space)
 
     @staticmethod
     def of(scene: Scene) -> "SceneStatic":
@@ -148,6 +150,7 @@ class SceneStatic(NamedTuple):
             ),
             nb_d=(o.gi_diffuse_samples ** 2 if o.gi_diffuse_depth > 0 else 0),
             nb_g=(o.gi_glossy_samples ** 2 if o.gi_glossy_depth > 0 else 0),
+            tex_gamma=float(o.texture_gamma),
         )
 
 
@@ -722,14 +725,14 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     if static.has_bump:
         ns_b = dispatch.apply_bump(
             sc.materials, sc.textures, surf.mat_id, surf.p, surf.ns,
-            fp=surf.fp,
+            fp=surf.fp, tex_gamma=static.tex_gamma,
         )
         sign = jnp.where(dot(ns_b, d) < 0.0, 1.0, -1.0)
         surf = surf._replace(ns=ns_b, nf=ns_b * sign[..., None])
     matg = dispatch.gather(
         sc.materials, sc.textures, surf.mat_id, surf.uv,
         surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
-        lod_bias=sc.lod_bias,
+        lod_bias=sc.lod_bias, tex_gamma=static.tex_gamma,
     )
     matv = dispatch.to_v(matg)
     pv = v3(surf.p)

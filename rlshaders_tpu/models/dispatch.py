@@ -68,6 +68,22 @@ class MatG(NamedTuple):
     has_refract: jnp.ndarray
 
 
+def _degamma(c: V3, gamma: float) -> V3:
+    """texture_gamma decode applied AFTER filtering: textures are stored and
+    filtered in STORAGE space (matching Arnold/.tx, whose mips and bicubic
+    taps average pre-decode values), then linearized here. Filtering in
+    linear space instead inflates every dark/bright texel mixture
+    (E[x^g] > E[x]^g) — measured +0.03..0.04 luminance bias across the
+    golden backdrop's digit texture at mip scale."""
+    if gamma == 1.0:
+        return c
+    return V3(
+        jnp.power(jnp.maximum(c.x, 0.0), gamma),
+        jnp.power(jnp.maximum(c.y, 0.0), gamma),
+        jnp.power(jnp.maximum(c.z, 0.0), gamma),
+    )
+
+
 def _proj_uv_scale_table(proj_inv: jnp.ndarray) -> jnp.ndarray:
     """Per-MATERIAL-TABLE UV-per-world scale of a planar projection:
     local = p @ P; uv = (local+1)/2, so duv/dp = |P column| / 2 (mean of
@@ -100,6 +116,7 @@ def gather(
     fp: jnp.ndarray | None = None,
     fp_uv: jnp.ndarray | None = None,
     lod_bias: float = 0.0,
+    tex_gamma: float = 1.0,
 ) -> MatG:
     """Gather material rows for a hit batch and precompute lobe parameters.
 
@@ -137,7 +154,9 @@ def gather(
             kd_scale = _proj_uv_scale_table(mats.kd_proj_inv)[mat_id]
             fpu = jnp.where(is_proj, fp * kd_scale, fp_uv)
         lod = compute_lod(tex, g.kd_tex, fpu, lod_bias)
-    tex_raw = sample_smart_bicubic(tex, g.kd_tex, uv, lod)
+    tex_raw = _degamma(
+        sample_smart_bicubic(tex, g.kd_tex, uv, lod), tex_gamma
+    )
     # Maya file-node color balance: tex*gain + offset, with the node's
     # `invert` flag already folded into (gain, offset) by scene/build.py
     # (invert on => gain' = -gain, offset' = gain + offset; e.g. the logo
@@ -185,7 +204,8 @@ def gather(
             if fp_uv is not None:
                 k_fpu = jnp.where(g.ks_proj >= 1, k_fpu, fp_uv)
             k_lod = compute_lod(tex, g.ks_tex, k_fpu, lod_bias)
-        k_rgb = sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod)
+        k_rgb = _degamma(sample_smart_bicubic(tex, g.ks_tex, kuv, k_lod),
+                         tex_gamma)
         k_alpha = jnp.clip(
             0.212671 * k_rgb.x + 0.71516 * k_rgb.y + 0.072169 * k_rgb.z,
             0.0, 1.0,
@@ -273,6 +293,7 @@ def apply_bump(
     ns: jnp.ndarray,
     fp: jnp.ndarray | None = None,
     eps_min: float = 5e-3,
+    tex_gamma: float = 1.0,
 ) -> jnp.ndarray:
     """Perturb shading normals by a height map (the bump3d node): finite
     differences of the (projected) texture's luminance along two surface
@@ -304,7 +325,7 @@ def apply_bump(
         cov = (g.bump_proj == 2) | (
             (jnp.abs(lx) <= 1.0) & (jnp.abs(ly) <= 1.0)
         )
-        rgb = sample_bilinear(tex, g.bump_tex, buv, lod)
+        rgb = _degamma(sample_bilinear(tex, g.bump_tex, buv, lod), tex_gamma)
         lum = 0.212671 * rgb.x + 0.71516 * rgb.y + 0.072169 * rgb.z
         return jnp.where(cov, lum, 0.5)
 

@@ -325,7 +325,10 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 if p in tex_paths:
                     return tex_paths.index(p)
                 tex_paths.append(p)
-                tex_images.append(load_image(p, opts.texture_gamma))
+                # STORAGE space: mips/filter taps average pre-decode values
+                # (Arnold/.tx behavior); texture_gamma is applied after
+                # filtering in models/dispatch._degamma
+                tex_images.append(load_image(p, 1.0))
                 return len(tex_paths) - 1
         return -1
 
