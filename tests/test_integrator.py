@@ -184,6 +184,28 @@ def test_furnace_lambert_under_dome(tmp_path):
     assert abs(val - expected) / expected < 0.05, (val, expected)
 
 
+SCENE_SSS_FURNACE = SCENE_FURNACE.replace(
+    " Kd 0.8", " Kd 0"
+).replace(
+    " Ks 0\n", " Ks 0\n Ksss 1\n Ksss_color 1 1 1\n sss_radius 0.3 0.3 0.3\n"
+)
+
+
+def test_sss_furnace_energy(tmp_path):
+    """BSSRDF lobe on a flat plane under a uniform dome: the stage must
+    return albedo * L_sky * CDF(rmax) — the reference's estimator
+    (rlSss.cpp evalProfile/getPdf) integrates the UNtruncated Burley R over
+    the disk truncated at max_radius = 3*max(dist) (rlSss.cpp:26), whose
+    diffusion mass is CDF(3d) = 1 - e^-3/4 - 3e^-1/4 = 0.7117 per equal-d
+    channel. Pins both the 3-axis MIS/pdf weighting scale AND the
+    reference-faithful truncation semantics."""
+    scene, out = _render(SCENE_SSS_FURNACE, str(tmp_path))
+    img = out["RGBA"]
+    val = img[6:10, 6:10].mean()
+    expected = 1.0 * 0.3 * 0.7117
+    assert abs(val - expected) / expected < 0.10, (val, expected)
+
+
 def test_quad_light_inverse_square(tmp_path):
     """Far small quad light ~ point source: E = L*A*cos^2/d^2 at the point
     under the light (cos=1), reflected by a white Lambert floor."""
