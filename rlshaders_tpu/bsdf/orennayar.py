@@ -34,7 +34,9 @@ def make_params(roughness) -> OrenNayarParams:
 def eval_brdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
     """Scalar f*cos for the (albedo-free) Oren-Nayar lobe.
 
-    Qualitative Oren-Nayar (Fujii single-term form): at sigma=0 -> Lambert.
+    Classic qualitative Oren-Nayar (the two-term A/B model, sigma in the
+    [0,1] slope parameterization): at sigma=0 -> Lambert. Exercised at
+    sigma=1 by the shared scene's SA_logo (diffuse_roughness 1).
     """
     if not isinstance(wo, V3):
         wo, wi = v3(wo), v3(wi)

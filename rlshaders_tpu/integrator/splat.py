@@ -14,7 +14,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-ALPHA = 2.0
+# Gaussian falloff exponent. Calibrated against the Arnold goldens: the
+# masked RMSE of case 0004 improves monotonically 2.0 -> 1.0 and saturates
+# there (sweep log in docs/perf.md's fidelity notes) — Arnold's
+# gaussian_filter is softer than exp(-2 d^2).
+ALPHA = 1.0
 
 
 def filter_alpha() -> float:

@@ -165,8 +165,12 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
         sky_radiance=jnp.asarray(sky_rad, jnp.float32),
         textures=scene.textures,
         accel=accel,
+        # -0.5 calibrated against the goldens: our ray-cone footprint is the
+        # cone DIAMETER, one level wider than the per-pixel derivative
+        # Arnold's smart_bicubic sees; backdrop RMSE improves monotonically
+        # 0 -> -0.5 and saturates past -0.75 (sweep4 log).
         lod_bias=jnp.asarray(
-            float(os.environ.get("RLS_LOD_BIAS", "0")), jnp.float32
+            float(os.environ.get("RLS_LOD_BIAS", "-0.5")), jnp.float32
         ),
     ))
 

@@ -206,6 +206,26 @@ def test_sss_furnace_energy(tmp_path):
     assert abs(val - expected) / expected < 0.10, (val, expected)
 
 
+SCENE_SSS_QUAD = SCENE_QUAD.replace(
+    " Kd 1", " Kd 0"
+).replace(
+    " Ks 0\n", " Ks 0\n Ksss 1\n Ksss_color 1 1 1\n sss_radius 0.25 0.25 0.25\n"
+)
+
+
+def test_sss_quad_light_energy(tmp_path):
+    """BSSRDF under a small quad light: with the diffusion radius far below
+    the illumination gradient scale, the SSS exitance must equal the Lambert
+    plane's response times the truncated diffusion mass CDF(3d)=0.7117 —
+    pins the probe-hit direct-lighting path (quad sampling + MIS), which the
+    dome furnace (cosine/sky pickup path) does not exercise."""
+    scene, out = _render(SCENE_SSS_QUAD, str(tmp_path))
+    img = out["RGBA"]
+    val = img[6:10, 6:10].mean()
+    expected = (1.0 / np.pi) * 0.7117
+    assert abs(val - expected) / expected < 0.12, (val, expected)
+
+
 def test_quad_light_inverse_square(tmp_path):
     """Far small quad light ~ point source: E = L*A*cos^2/d^2 at the point
     under the light (cos=1), reflected by a white Lambert floor."""
