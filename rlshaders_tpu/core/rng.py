@@ -140,9 +140,13 @@ def sobol2(idx: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([_to_unit(d0), _to_unit(d1)], axis=-1)
 
 
-def _stream_seed(pix: jnp.ndarray, purpose: int, salt: jnp.ndarray) -> jnp.ndarray:
+def _stream_seed(pix: jnp.ndarray, purpose, salt) -> jnp.ndarray:
+    """Per-(pixel, purpose) scramble seed. `purpose` may be a Python int, a
+    traced scalar, or an array (broadcasts against pix)."""
     return _hash_u32(
-        pix.astype(jnp.uint32) ^ _hash_u32(jnp.uint32(purpose)) ^ salt
+        pix.astype(jnp.uint32)
+        ^ _hash_u32(jnp.asarray(purpose).astype(jnp.uint32))
+        ^ jnp.asarray(salt).astype(jnp.uint32)
     )
 
 

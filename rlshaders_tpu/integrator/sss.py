@@ -75,21 +75,43 @@ def _probe_rays(profile, frame, p, u1, u2):
     return p + off, dirs, maxdist, r
 
 
-def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
+def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
     """Direct Lambert irradiance-reflectance at probe hits: one area sample
     per light MIS-combined with one cosine-hemisphere sample (the two
     strategies AiEvaluateLightSample runs for the reference's OrenNayar(0)
     light loop, rlSss.h:439-454 — pure area sampling explodes when a large
     light nearly touches the surface, e.g. testsuite case 0010).
-    Returns (N, 3)."""
+    Returns (N, 3).
+
+    sq = (pix, sidx, salt, purpose_base) switches the draws to the
+    per-pixel Owen-Sobol streams (core/rng.py): lane i's draw for slot s of
+    light li comes from stream (pix[i], purpose_base*slot*li) at index
+    sidx[i] — jointly stratified over the pixel's whole probe budget.
+    purpose_base may be traced (the probe-chain step index)."""
     n = surf_p.shape[0]
     out = jnp.zeros((n, 3))
+
+    def draw(slot, k):
+        """(n, k, 1, 2) sample pairs for k parallel light columns."""
+        if sq is None:
+            return rng.uniform2(rng.fold(key, slot), (n, k, 1))
+        pix, sidx, salt, pb = sq
+        purpose = (
+            jnp.asarray(pb, jnp.uint32) * jnp.uint32(0x1003)
+            ^ (jnp.uint32(slot) * jnp.uint32(0x10007)
+               + jnp.arange(k, dtype=jnp.uint32))
+        )
+        seed = rng._stream_seed(pix[:, None], purpose[None, :], salt)
+        idx = jnp.broadcast_to(sidx[:, None], (n, k))
+        return rng.sobol2(idx.reshape(-1), seed.reshape(-1)).reshape(
+            n, k, 1, 2
+        )
 
     dirs, dists, rads, pdfs = [], [], [], []
     ql = sc.quad_lights
     if sum(static.quad_valid):
         lsel = [i for i, v in enumerate(static.quad_valid) if v]
-        u = rng.uniform2(rng.fold(key, 11), (n, len(lsel), 1))
+        u = draw(11, len(lsel))
         idx = jnp.asarray(lsel)
         ls = lightsmod.sample_quads_batched(
             ql.verts[idx], ql.normal[idx], ql.area[idx], ql.radiance[idx],
@@ -103,7 +125,7 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
     dl = sc.disk_lights
     if sum(static.disk_valid):
         lsel = [i for i, v in enumerate(static.disk_valid) if v]
-        u = rng.uniform2(rng.fold(key, 12), (n, len(lsel), 1))
+        u = draw(12, len(lsel))
         idx = jnp.asarray(lsel)
         ls = lightsmod.sample_disks_batched(
             dl.center[idx], dl.u[idx], dl.v[idx], dl.normal[idx], dl.area[idx],
@@ -115,7 +137,7 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
         rads.append(ls.radiance.reshape(n, k, 3))
         pdfs.append(ls.pdf.reshape(n, k))
     if static.sky_exists:
-        u = rng.uniform2(rng.fold(key, 13), (n, 1, 1))
+        u = draw(13, 1)
         ls = lightsmod.sample_sky_batched(sc.sky_radiance, surf_n, u)
         dirs.append(ls.direction.reshape(n, 1, 3))
         dists.append(ls.dist.reshape(n, 1))
@@ -149,7 +171,7 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key):
 
     # cosine-hemisphere strategy: one sample; pick up area-light emission
     # analytically with the complementary MIS weight
-    ub = rng.uniform2(rng.fold(key, 77), (n, 1))[:, 0]
+    ub = draw(77, 1)[:, 0, 0]
     local = cosine_sample_hemisphere(ub[..., 0], ub[..., 1])
     cframe = build_frame_polar(surf_n)
     bdir = to_world(cframe, local)
@@ -235,6 +257,17 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
     o_probe, d_probe, maxdist, _r = _probe_rays(
         prof_f, frame_f, p_f, u[:, 0], u[:, 1]
     )
+    if use_sobol:
+        # per-lane sobol addressing for the probe-hit lighting draws:
+        # lane i*s_total + c belongs to pixel pix[i], global sample index
+        # aa[i]*s_total + c — the whole (AA x s_total) probe budget of one
+        # pixel shares each (pixel, step, slot) stream
+        pix_f = rep(pix)
+        sidx_f = rep(aa).astype(jnp.uint32) * jnp.uint32(s_total) + (
+            jnp.arange(nf_total, dtype=jnp.uint32) % jnp.uint32(s_total)
+        )
+    else:
+        pix_f = sidx_f = None
 
     accum = jnp.zeros((nf_total, 3))
     origin = o_probe
@@ -280,15 +313,30 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
         fade = jnp.sqrt(jnp.clip((1.0 + cos_cav) * 0.5, 0.0, 1.0))
         cavity = jnp.where(cav_f, fade, cavity)
 
+        def sq_of(base):
+            if not use_sobol:
+                return None
+            return (pix_f, sidx_f, salt,
+                    jnp.uint32(base) + jnp.asarray(k_step, jnp.uint32))
+
         # direct Lambert at the probe hit
         direct = _lambert_direct(
             sc, static, hp, hn, jnp.where(shade_ok, hit.tri, -1),
-            rng.fold(key, 100 + k_step),
+            rng.fold(key, 100 + k_step), sq=sq_of(100),
         )
 
         # one cosine-sampled indirect diffuse bounce (rlSss.h:456-483)
         if gi_diffuse > 0:
-            ub = rng.uniform2(rng.fold(key, 200 + k_step), (nf_total, 1))[:, 0]
+            if use_sobol:
+                ub = rng.sobol2(sidx_f, rng._stream_seed(
+                    pix_f,
+                    jnp.uint32(200) + jnp.asarray(k_step, jnp.uint32),
+                    salt,
+                ))
+            else:
+                ub = rng.uniform2(
+                    rng.fold(key, 200 + k_step), (nf_total, 1)
+                )[:, 0]
             local = cosine_sample_hemisphere(ub[..., 0], ub[..., 1])
             hframe = build_frame_polar(hn)
             bdir = to_world(hframe, local)
@@ -306,7 +354,7 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
             bn = jnp.where(dot(bn, -bdir)[..., None] < 0.0, -bn, bn)
             b_direct = _lambert_direct(
                 sc, static, bp, bn, jnp.where(bhit.tri >= 0, bhit.tri, -1),
-                rng.fold(key, 300 + k_step),
+                rng.fold(key, 300 + k_step), sq=sq_of(300),
             )
             # bounce hit shades as the skin fallback: albedo * direct
             b_albedo = sc.materials.sss_color[g.mat_id[btri]] * (
