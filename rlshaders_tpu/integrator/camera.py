@@ -54,6 +54,7 @@ def generate(
         aperture_size=float(cam.aperture_size) * ap_scale,
         xres=int(xres or cam.xres), yres=int(yres or cam.yres),
         shx=shx, shy=shy,
+        sobol=_os.environ.get("RLS_SOBOL", "1") == "1",
     )
 
 
@@ -61,11 +62,12 @@ def generate(
     jax.jit,
     static_argnames=(
         "aa_samples", "fov_deg", "focus_distance", "aperture_size",
-        "xres", "yres", "shx", "shy",
+        "xres", "yres", "shx", "shy", "sobol",
     ),
 )
 def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
-                aperture_size, xres, yres, shx=0.0, shy=0.0) -> CameraRays:
+                aperture_size, xres, yres, shx=0.0, shy=0.0,
+                sobol=True) -> CameraRays:
     from types import SimpleNamespace
 
     cam = SimpleNamespace(
@@ -97,9 +99,18 @@ def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
             xres * yres, n_sub, 2
         )
 
-    sub_uv = _pix_sobol(1)
-    ox = sub_uv[..., 0]
-    oy = sub_uv[..., 1]
+    if sobol:
+        sub_uv = _pix_sobol(1)
+        ox = sub_uv[..., 0]
+        oy = sub_uv[..., 1]
+    else:
+        # aa x aa jittered grid (RLS_SOBOL=0 ablation)
+        sub = jnp.arange(n_sub, dtype=jnp.float32)
+        sx = jnp.mod(sub, aa_samples)
+        sy = jnp.floor(sub / aa_samples)
+        jitter = jax.random.uniform(key, (xres * yres, n_sub, 2))
+        ox = (sx[None, :] + jitter[..., 0]) / aa_samples
+        oy = (sy[None, :] + jitter[..., 1]) / aa_samples
 
     # the gaussian pixel filter is applied by cross-pixel splatting in
     # render() (Arnold filter semantics); samples carry their subpixel
@@ -125,7 +136,11 @@ def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
 
     o = jnp.broadcast_to(pos, d_world.shape)
     if cam.aperture_size > 0.0:
-        u = _pix_sobol(2)  # lens-disk samples: an independently-scrambled pad
+        if sobol:
+            u = _pix_sobol(2)  # lens samples: independently-scrambled pad
+        else:
+            k1, _ = jax.random.split(jax.random.fold_in(key, 7))
+            u = jax.random.uniform(k1, (xres * yres, n_sub, 2))
         r = jnp.sqrt(u[..., 0]) * cam.aperture_size
         phi = u[..., 1] * 2.0 * jnp.pi
         lens = (r * jnp.cos(phi))[..., None] * right + (r * jnp.sin(phi))[

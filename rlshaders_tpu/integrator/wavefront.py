@@ -686,6 +686,7 @@ class RenderConf(NamedTuple):
     pix_spread: float
     n_sub: int  # AA samples per pixel (aa^2): the SampleCtx lane decode
     ff_shade: bool  # faceforward by ns·d instead of the geometric side
+    use_sobol: bool  # per-pixel Owen-Sobol streams (RLS_SOBOL=0 ablates)
 
 
 class SSSIn(NamedTuple):
@@ -1000,7 +1001,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
         pix=pixel,
         aa=lane % conf.n_sub,
         salt=jax.random.bits(rng.fold(key, 3141), (), jnp.uint32),
-    )
+    ) if conf.use_sobol else None
     pack, rgb, aov_dd, aov_ds = _shade_generation_t(
         sc, static, conf, origin, direction, rng.fold(key, 0), VIS_CAMERA,
         camera_level=True, indirect_scaled=False, is_refraction=False,
@@ -1118,6 +1119,7 @@ class TileRenderer:
             pix_spread=pix_spread,
             n_sub=aa_samples * aa_samples,
             ff_shade=os.environ.get("RLS_FACEFORWARD", "shade") == "shade",
+            use_sobol=os.environ.get("RLS_SOBOL", "1") == "1",
         )
         self.nb_d, self.nb_g, self.nb_r = (
             self.conf.nb_d, self.conf.nb_g, self.conf.nb_r

@@ -297,7 +297,8 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
     d_lo = d.min(axis=2)
     d_hi = d.max(axis=2)
     # longest segment in the block: boxes entered past it can't occlude any
-    # lane (shadow rays stop at the light; padding lanes carry t_max 0)
+    # lane (shadow rays stop at the light; padding lanes carry t_max 0).
+    # RLS_THI_CULL=0 ablates (read at import: process-level knob).
     t_hi = rays[:, 6, :].max(axis=1)  # (nb,)
 
     cmin = (box_min if box_min is not None
@@ -321,7 +322,9 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
         hi = jnp.where(spans0, BIG, hi)
         tn = jnp.maximum(tn, lo)
         tf = jnp.minimum(tf, hi)
-    survive = (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_hi[:, None])  # (nb, C)
+    survive = tf >= jnp.maximum(tn, 0.0)  # (nb, C)
+    if __import__("os").environ.get("RLS_THI_CULL", "1") == "1":
+        survive = survive & (tn <= t_hi[:, None])
 
     # dominant octant from the direction sums; purity from the sign boxes
     d_sum = d.sum(axis=2)  # (nb, 3)
