@@ -54,7 +54,7 @@ def generate(
         aperture_size=float(cam.aperture_size) * ap_scale,
         xres=int(xres or cam.xres), yres=int(yres or cam.yres),
         shx=shx, shy=shy,
-        sobol=_os.environ.get("RLS_SOBOL", "1") == "1",
+        sobol=_os.environ.get("RLS_SOBOL_CAM", "0") == "1",
     )
 
 
@@ -99,12 +99,21 @@ def _j_generate(c2w, key, *, aa_samples, fov_deg, focus_distance,
             xres * yres, n_sub, 2
         )
 
+    # Subpixel positions use the aa x aa stratified grid, NOT a Sobol
+    # prefix: aa^2 is not dyadic for odd aa, and the first aa^2 points of a
+    # scrambled (0,2) sequence have a per-pixel-random barycenter offset of
+    # ~±0.1 px. For CAMERA dims that offset is a spatial shift of the whole
+    # pixel's estimate — gradient-proportional structured noise (measured:
+    # the smooth-highlight goldens 0003/0008/0009 regressed 14-19% with
+    # sobol camera dims while texture-noisy cases improved; 0008's error was
+    # 99.99% edge pixels). In-shader integrals keep the Sobol streams: their
+    # lanes estimate the SAME integral, where prefix imbalance is ordinary
+    # variance, not displacement. RLS_SOBOL_CAM=1 re-enables for A/B.
     if sobol:
         sub_uv = _pix_sobol(1)
         ox = sub_uv[..., 0]
         oy = sub_uv[..., 1]
     else:
-        # aa x aa jittered grid (RLS_SOBOL=0 ablation)
         sub = jnp.arange(n_sub, dtype=jnp.float32)
         sx = jnp.mod(sub, aa_samples)
         sy = jnp.floor(sub / aa_samples)
