@@ -447,7 +447,7 @@ def sss_stage(tr, sss_in, key, n_sss=None, k_probe=K_PROBE):
             tr.sc, tr.static, p, ns_, mesh, mask, dist, color, weight, cav,
             key, pix, aa, sss_in.salt, n_sss=s,
             gi_diffuse=int(opts.gi_diffuse_depth), k_probe=k_probe,
-            use_sobol=True,
+            use_sobol=tr.conf.use_sobol,
         )
 
     full = (sss_in.p, sss_in.ns, sss_in.mesh_id, is_sss, sss_in.sss_dist,

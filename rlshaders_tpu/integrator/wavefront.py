@@ -714,7 +714,7 @@ class SSSIn(NamedTuple):
 
 def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
                  indirect_scaled, base_fp=None, spread=None, trace_pack=None,
-                 ctx: SampleCtx = None):
+                 ctx: SampleCtx = None, ray_lobe="camera"):
     n = o.shape[0]
     if base_fp is None:
         base_fp = jnp.zeros((n,), jnp.float32)
@@ -738,6 +738,7 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         sc.materials, sc.textures, surf.mat_id, surf.uv,
         surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
         lod_bias=sc.lod_bias, tex_gamma=static.tex_gamma,
+        diffuse_ray=(ray_lobe == "diffuse"),
     )
     matv = dispatch.to_v(matg)
     pv = v3(surf.p)
@@ -928,7 +929,7 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
     surf, matg, matv, pv, nfv, frame, wo, rgb, aov_d, aov_s, tp = (
         _gen_shade_t(
             sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
-            base_fp, spread, trace_pack, ctx=ctx,
+            base_fp, spread, trace_pack, ctx=ctx, ray_lobe=ray_lobe,
         )
     )
     tri = tp[1]
@@ -997,11 +998,12 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
     # consecutive AA lanes per pixel and tiles are n_sub-aligned. Padding
     # lanes carry pixel=-1 — their draws are never splatted.
     lane = start + jnp.arange(tile_rays, dtype=jnp.int32)
-    ctx = SampleCtx(
+    ctx_full = SampleCtx(
         pix=pixel,
         aa=lane % conf.n_sub,
         salt=jax.random.bits(rng.fold(key, 3141), (), jnp.uint32),
-    ) if conf.use_sobol else None
+    )
+    ctx = ctx_full if conf.use_sobol else None
     pack, rgb, aov_dd, aov_ds = _shade_generation_t(
         sc, static, conf, origin, direction, rng.fold(key, 0), VIS_CAMERA,
         camera_level=True, indirect_scaled=False, is_refraction=False,
@@ -1073,7 +1075,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
         p=surf0.p, ns=surf0.ns, mesh_id=surf0.mesh_id, valid=surf0.valid,
         sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist.aos(),
         sss_color=matg0.sss_color.aos(), cavity_fadeout=matg0.cavity_fadeout,
-        pix=ctx.pix, aa=ctx.aa, salt=ctx.salt,
+        pix=ctx_full.pix, aa=ctx_full.aa, salt=ctx_full.salt,
     )
     return rgb.aos(), aovs, sss_in
 

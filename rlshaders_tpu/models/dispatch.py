@@ -117,6 +117,7 @@ def gather(
     fp_uv: jnp.ndarray | None = None,
     lod_bias: float = 0.0,
     tex_gamma: float = 1.0,
+    diffuse_ray: bool = False,
 ) -> MatG:
     """Gather material rows for a hit batch and precompute lobe parameters.
 
@@ -218,6 +219,14 @@ def gather(
         v3(g.skin_spec_color) * g.skin_spec_weight,
         v3(g.ks_color) * ks,
     )
+    if diffuse_ray:
+        # Arnold standard with enable_glossy_caustics off (the Arnold 4
+        # default) kills the WHOLE specular response on diffuse rays — any
+        # specular event on a diffuse path is a caustic. The rl* plugins
+        # carry no such gate (rlGgx.cpp light loop runs on every ray type).
+        spec_weight = vec3.where(
+            is_standard & ~g.glossy_caustics, 0.0, spec_weight
+        )
     spec2_weight = v3(g.skin_sheen_color) * g.skin_sheen_weight
 
     ggx_rough = jnp.where(is_skin, g.skin_spec_roughness, g.spec_roughness)

@@ -91,6 +91,12 @@ class Materials(NamedTuple):
     spec_dist: jnp.ndarray      # (M,) microfacet NDF: 0 = GGX (rl* shaders),
                                 # 1 = Beckmann (standard's default
                                 # specular_brdf "cook_torrance")
+    glossy_caustics: jnp.ndarray  # (M,) bool: standard's
+                                # enable_glossy_caustics — when False the
+                                # specular response is killed on DIFFUSE
+                                # rays (a specular event on a diffuse path
+                                # is a caustic). Plugin shaders (rl*) have
+                                # no such gate: always True.
     kt_color: jnp.ndarray
     kt: jnp.ndarray
     ior: jnp.ndarray
@@ -447,6 +453,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             "bump_tex": -1, "bump_proj": 0,
             "bump_proj_inv": np.eye(4, dtype=np.float32), "bump_height": 0.0,
             "spec_roughness": 0.4, "spec_aniso": 0.0, "spec_dist": 0,
+            "glossy_caustics": True,
             "kt_color": np.ones(3, np.float32), "kt": 0.0, "ior": 1.0,
             "opacity": np.ones(3, np.float32), "emission": np.zeros(3, np.float32),
             "subsurface": 0.0, "metallic": 0.0, "specular": 0.0,
@@ -559,6 +566,9 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
                 # (Beckmann); stretched_phong/ward_duer also approximate to
                 # Beckmann here (none of the testsuite scenes set them)
                 spec_dist=0 if node.get("specular_brdf") == "ggx" else 1,
+                # Arnold 4 standard defaults glossy caustics OFF
+                glossy_caustics=bool(node.get("enable_glossy_caustics",
+                                              False)),
                 ior=1.0,
                 emission=emis,
                 opacity=_gamma_rgb(node.get("opacity", 1.0), 1.0),
