@@ -181,6 +181,17 @@ def cmd_mkdir(args):
     return 0
 
 
+def cmd_dcc(args):
+    """Export DCC integration files (.mtd UI metadata + Maya AE templates),
+    generated from the shader registry (reference src/rlShaders.mtd +
+    scripts/ae/rl*Template.py)."""
+    from .models import dcc
+
+    for path in dcc.export(args.outdir):
+        print(f"[rls] wrote {path}")
+    return 0
+
+
 def cmd_display(args):
     """Write side-by-side ref|test|5x-diff PNG sheets per case (the headless
     stand-in for runtest.py display's `iv` viewer, runtest.py:246-254)."""
@@ -296,6 +307,10 @@ def main(argv=None):
     dp.add_argument("--cases", default=None)
     dp.add_argument("--outdir", default="display")
     dp.set_defaults(fn=cmd_display)
+
+    dc = sub.add_parser("dcc", help="export .mtd + Maya AE templates")
+    dc.add_argument("--outdir", default="dcc")
+    dc.set_defaults(fn=cmd_dcc)
 
     pp = sub.add_parser("patterns", help="dump sampling-pattern diagnostics")
     pp.add_argument("--outdir", default="patterns")

@@ -62,7 +62,7 @@ RLGGX = ShaderSpec(
         _f("Kt", 0.0),
         _f("ior", 1.0, 0.0, 3.0, doc="ior < 1 yields TIR mirrors (rlGgx.h:139)"),
         _f("anisotropic", 0.0),
-        _f("opacity", 1.0),
+        _f("opacity", 1.0, 0.0, 1.0, 1.0),
         ParamSpec("opacity_color", "RGB", (1.0, 1.0, 1.0)),
     ),
     aovs=(
@@ -104,17 +104,17 @@ RLSKIN = ShaderSpec(
     params=(
         ParamSpec("sss_color", "RGB", (1.0, 1.0, 1.0), always_linear=True),
         _f("sss_weight", 1.0),
-        _f("sss_dist_multiplier", 1.0, 0.0, 10.0),
+        _f("sss_dist_multiplier", 1.0, 0.0, 3.0),
         ParamSpec("sss_scatter_dist", "VEC", (1.0, 1.0, 1.0)),
         ParamSpec("sss_cavity_fadeout", "BOOL", True, linkable=False),
         ParamSpec("specular_color", "RGB", (1.0, 1.0, 1.0), always_linear=True),
         _f("specular_weight", 0.6),
         _f("specular_roughness", 0.5),
-        _f("specular_ior", 1.44, 1.0, 3.0),
+        _f("specular_ior", 1.44, 0.0, 3.0),
         ParamSpec("sheen_color", "RGB", (1.0, 1.0, 1.0), always_linear=True),
         _f("sheen_weight", 0.0),
-        _f("sheen_roughness", 0.35),
-        _f("sheen_ior", 1.44, 1.0, 3.0),
+        _f("sheen_roughness", 0.35, 0.0, 1.0, 1.0),
+        _f("sheen_ior", 1.44, 0.0, 3.0),
         _f("opacity", 1.0),
         ParamSpec("opacity_color", "RGB", (1.0, 1.0, 1.0)),
     ),
