@@ -406,6 +406,29 @@ def sample(params: GGXParams, wo, rx, ry):
     return (wi.aos(), fw) if aos else (wi, fw)
 
 
+_VDC16 = (0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875,
+          0.0625, 0.5625, 0.3125, 0.8125, 0.1875, 0.6875, 0.4375,
+          0.9375, 0.03125)
+
+
+def avg_fresnel(params: GGXParams, wo: V3, n: int = 16) -> jnp.ndarray:
+    """View-averaged dielectric Fresnel over VNDF draws: the deterministic
+    limit of the reference's running average `getAvgReflectWeight()`
+    (rlGgx.h:103-106, 181-184 — every MIS sample accumulates the exact
+    Fresnel of its sampled half-vector; rlSkin consumes the mean for energy
+    layering at rlSkin.cpp:204, 228, 238). A fixed Hammersley quadrature
+    replaces the sample-count-dependent running mean."""
+    acc = jnp.zeros_like(wo.z)
+    for i in range(n):
+        m = sample_vndf(
+            wo, params.alpha_x, params.alpha_y, (i + 0.5) / n,
+            _VDC16[i % len(_VDC16)],
+        )
+        wi = vec3.reflect(wo, m)
+        acc = acc + fresnel_dielectric(wi, m, params.ior_in, params.ior_out)
+    return acc / n
+
+
 def eval_brdf(params: GGXParams, wo, wi):
     """Reflectance * cos(theta_i), the quantity the host integrator consumes
     (GgxSamplerT::evalBrdf -> evalReflectance, rlGgx.h:110-119, 158-165)."""

@@ -745,6 +745,11 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     nfv = v3(surf.nf)
     frame = build_frame_polar_v(nfv)
     wo = to_local_v(frame, -v3(d))
+    if static.has_skin_mat:
+        # rlSkin Fresnel energy layering (view-averaged): attenuates the
+        # specular-under-sheen response, the BSSRDF weight, and the skin
+        # diffuse-ray fallback (rlSkin.cpp:204-238)
+        matv = matg = dispatch.skin_layer_fields(matv, wo)
     # constant-dome dedup: when both camera-level BSDF families spawn, the
     # sky column is redundant with the cosine-sampled diffuse family (same
     # pdf) — drop its (expensive) hemisphere shadow rays and give the

@@ -53,6 +53,10 @@ class MatG(NamedTuple):
     ggx: ggx.GGXParams            # GGX lobe (rlGgx / standard / skin specular)
     ggx2: ggx.GGXParams           # skin sheen lobe
     spec2_weight: jnp.ndarray     # (..., 3) sheen lobe multiplier (skin)
+    skin_spec_w: jnp.ndarray      # scalar specular_weight (rlSkin layering)
+    skin_sheen_w: jnp.ndarray     # scalar sheen_weight (rlSkin layering)
+    sheen_layer: jnp.ndarray      # 1 - avgFresnel(sheen)*sheen_weight; 1.0
+                                  # until skin_layer_fields fills it per view
     dsy: disney.DisneyParams
     kt_color: jnp.ndarray         # (..., 3) transmission color (kt*color)
     opacity: jnp.ndarray          # (..., 3)
@@ -278,6 +282,9 @@ def gather(
         ggx=ggx_p,
         ggx2=ggx2_p,
         spec2_weight=spec2_weight,
+        skin_spec_w=jnp.where(is_skin, g.skin_spec_weight, 0.0),
+        skin_sheen_w=jnp.where(is_skin, g.skin_sheen_weight, 0.0),
+        sheen_layer=jnp.ones_like(g.skin_spec_weight),
         dsy=dsy_p,
         kt_color=kt_color,
         opacity=v3(g.opacity),
@@ -364,6 +371,36 @@ _MATG_COLOR_FIELDS = (
     "diffuse_color", "spec_weight", "spec2_weight", "kt_color", "opacity",
     "emission", "sss_color", "sss_dist",
 )
+
+
+def skin_layer_fields(m: MatG, wo: V3) -> MatG:
+    """Fill rlSkin's view-dependent Fresnel energy layering (rlSkin.cpp:
+    204, 228, 231, 238):
+
+        sheenFresnel    = avgF(sheen lobe)    * sheen_weight
+        specularFresnel = avgF(specular lobe) * specular_weight
+        specular       *= (1 - sheenFresnel)           -> m.sheen_layer
+        sssWeight      *= 1 - specularFresnel*(1 - sheenFresnel)
+
+    where avgF is the view-averaged sampled Fresnel (getAvgReflectWeight,
+    rlGgx.h:181-184; here ggx.avg_fresnel's fixed quadrature). The layered
+    sss weight also scales the skin diffuse-ray fallback color, which the
+    reference gets by multiplying integrateScatter's fallback result by the
+    layered sssWeight (rlSss.h:172-186 x rlSkin.cpp:245). Call once per
+    shading point with the LOCAL view direction; non-skin lanes unchanged."""
+    is_skin = m.mtype == MAT_SKIN
+    sheen_fres = jnp.clip(ggx.avg_fresnel(m.ggx2, wo) * m.skin_sheen_w,
+                          0.0, 1.0)
+    spec_fres = jnp.clip(ggx.avg_fresnel(m.ggx, wo) * m.skin_spec_w,
+                         0.0, 1.0)
+    sss_layer = 1.0 - spec_fres * (1.0 - sheen_fres)
+    return m._replace(
+        sheen_layer=jnp.where(is_skin, 1.0 - sheen_fres, 1.0),
+        sss_weight=jnp.where(is_skin, m.sss_weight * sss_layer,
+                             m.sss_weight),
+        diffuse_color=vec3.where(is_skin, m.diffuse_color * sss_layer,
+                                 m.diffuse_color),
+    )
 
 
 def to_v(m: MatG) -> MatG:
@@ -459,12 +496,14 @@ def eval_specular(m: MatG, wo: V3, wi: V3):
     p_dsy = disney.pdf_specular(m.dsy, wo, wi)
 
     # skin: sheen lobe layered over specular with Fresnel energy accounting
-    # (rlSkin.cpp:204-238); the layering weight uses the per-sample Fresnel.
+    # (rlSkin.cpp:204-238). The layering factor is the VIEW-AVERAGED sheen
+    # Fresnel (reference getAvgReflectWeight, rlGgx.h:181-184) filled into
+    # m.sheen_layer by skin_layer_fields once per shading point; it stays
+    # 1.0 (no attenuation) for non-skin lanes.
     refl2 = jnp.where(valid, ggx.reflection_term(m.ggx2, wo, wi) * wi.z, 0.0)
     f_sheen = m.spec2_weight * refl2
-    fres_sheen = ggx.fresnel_dielectric(wi, h, m.ggx2.ior_in, m.ggx2.ior_out)
     sheen_w = vec3.maxc(m.spec2_weight)
-    f_skin = f_sheen + f_ggx * (1.0 - fres_sheen * sheen_w)
+    f_skin = f_sheen + f_ggx * m.sheen_layer
     p_sheen = ggx.pdf(m.ggx2, wo, wi)
     has_sheen = sheen_w > 1e-5
     p_skin = jnp.where(has_sheen, 0.5 * (p_ggx + p_sheen), p_ggx)
