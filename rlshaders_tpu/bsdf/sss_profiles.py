@@ -29,18 +29,52 @@ class NDProfile(NamedTuple):
     c1: jnp.ndarray          # (..., 3) 1 - exp(-rmax/d)
     c2: jnp.ndarray          # (..., 3) 1 - exp(-rmax/(3d))
     max_radius: jnp.ndarray  # (...,)
+    cubic: jnp.ndarray       # (...,) bool: Arnold-4 cubic falloff lanes
 
 
-def make_nd_profile(distance: jnp.ndarray) -> NDProfile:
+def make_nd_profile(distance: jnp.ndarray, cubic=None) -> NDProfile:
     """Counterpart of NDProfile::setDistance (rlSss.cpp:20-34). The albedo-fit
-    `s` term is computed-but-unused in the reference, so it is omitted here."""
+    `s` term is computed-but-unused in the reference, so it is omitted here.
+
+    `cubic` lanes instead use Arnold 4's classic raytraced-SSS falloff
+    (the `standard` shader's Ksss lobe): R(r) = 10/(pi d^2) (1 - r/d)^3 with
+    compact support d (per channel), which integrates to exactly 1 over the
+    disk — unlike the reference plugin's Burley-truncated-at-3d (mass
+    0.7117). The Burley math is untouched for rlSkin."""
     distance = jnp.asarray(distance, jnp.float32)
-    max_radius = jnp.max(distance, axis=-1) * 3.0
+    dmax = jnp.max(distance, axis=-1)
+    if cubic is None:
+        cubic = jnp.zeros(jnp.shape(dmax), bool)
+    cubic = jnp.broadcast_to(jnp.asarray(cubic, bool), jnp.shape(dmax))
+    max_radius = jnp.where(cubic, dmax, dmax * 3.0)
     safe_d = jnp.maximum(distance, 1e-12)
-    rm = max_radius[..., None]
+    rm = (dmax * 3.0)[..., None]
     c1 = 1.0 - jnp.exp(-rm / safe_d)
     c2 = 1.0 - jnp.exp(-rm / safe_d / 3.0)
-    return NDProfile(distance=distance, c1=c1, c2=c2, max_radius=max_radius)
+    return NDProfile(distance=distance, c1=c1, c2=c2, max_radius=max_radius,
+                     cubic=cubic)
+
+
+def _cubic_inv_cdf(u: jnp.ndarray) -> jnp.ndarray:
+    """Invert the cubic profile's radial CDF on x = r/d:
+    CDF(x) = 10x^2 - 20x^3 + 15x^4 - 4x^5 (monotone on [0,1]); 24-step
+    branchless bisection (error 2^-24, far below the probe-ray noise)."""
+    lo = jnp.zeros_like(u)
+    hi = jnp.ones_like(u)
+    for _ in range(24):
+        mid = 0.5 * (lo + hi)
+        c = ((((-4.0 * mid + 15.0) * mid - 20.0) * mid + 10.0) * mid * mid)
+        below = c < u
+        lo = jnp.where(below, mid, lo)
+        hi = jnp.where(below, hi, mid)
+    return 0.5 * (lo + hi)
+
+
+def _cubic_eval(p: "NDProfile", r: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel cubic R(r) = 10/(pi d^2) (1 - r/d)^3 on r < d. (..., 3)."""
+    d = jnp.maximum(p.distance, 1e-12)
+    x = jnp.clip(1.0 - r[..., None] / d, 0.0, 1.0)
+    return 10.0 / (jnp.pi * d * d) * x * x * x
 
 
 def select_dist_lobe(x: jnp.ndarray):
@@ -78,6 +112,7 @@ def nd_sample_radius(p: NDProfile, rx: jnp.ndarray) -> jnp.ndarray:
     r_far = jnp.log(jnp.maximum(1.0 - rx_far * w2, 1e-30)) * (-d * 3.0)
     r_near = jnp.log(jnp.maximum(1.0 - rx_near * w1, 1e-30)) * (-d)
     r = jnp.where(use_far, r_far, r_near)
+    r = jnp.where(p.cubic, d * _cubic_inv_cdf(rx), r)
     degenerate = (p.max_radius < EPS) | (d < EPS)
     return jnp.where(degenerate, 0.0, r)
 
@@ -91,6 +126,8 @@ def nd_pdf(p: NDProfile, r: jnp.ndarray) -> jnp.ndarray:
     p2 = jnp.exp(-ru / d / 3.0)
     per_ch = (p1 + p2) / d / jnp.maximum(p.c1 + p.c2 * 3.0, 1e-12)
     pdf = jnp.sum(per_ch, axis=-1) / (TWO_PI * jnp.maximum(r, 1e-12) * 3.0)
+    # cubic lanes: the normalized profile IS the disk pdf per channel
+    pdf = jnp.where(p.cubic, jnp.mean(_cubic_eval(p, r), axis=-1), pdf)
     return jnp.where(p.max_radius < EPS, 1.0, pdf)
 
 
@@ -103,6 +140,7 @@ def nd_eval(p: NDProfile, r: jnp.ndarray) -> jnp.ndarray:
     val = (jnp.exp(-r[..., None] / safe_d) + jnp.exp(-r[..., None] / (3.0 * safe_d))) / (
         denom * safe_d
     )
+    val = jnp.where(p.cubic[..., None], _cubic_eval(p, r), val)
     val = jnp.where(d < EPS, 1.0, val)
     val = jnp.where(r[..., None] < EPS, 1.0, val)
     return jnp.where(p.max_radius[..., None] < EPS, 0.0, val)

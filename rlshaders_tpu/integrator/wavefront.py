@@ -700,6 +700,7 @@ class SSSIn(NamedTuple):
     sss_dist: jnp.ndarray
     sss_color: jnp.ndarray
     cavity_fadeout: jnp.ndarray
+    cubic: jnp.ndarray  # standard-shader Ksss lanes use Arnold's cubic falloff
     pix: jnp.ndarray   # (N,) sampler addressing (SampleCtx of the tile)
     aa: jnp.ndarray    # (N,)
     salt: jnp.ndarray  # ()
@@ -1080,6 +1081,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
         p=surf0.p, ns=surf0.ns, mesh_id=surf0.mesh_id, valid=surf0.valid,
         sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist.aos(),
         sss_color=matg0.sss_color.aos(), cavity_fadeout=matg0.cavity_fadeout,
+        cubic=matg0.mtype == dispatch.MAT_STANDARD,
         pix=ctx_full.pix, aa=ctx_full.aa, salt=ctx_full.salt,
     )
     return rgb.aos(), aovs, sss_in

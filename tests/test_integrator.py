@@ -192,14 +192,37 @@ SCENE_SSS_FURNACE = SCENE_FURNACE.replace(
 
 
 def test_sss_furnace_energy(tmp_path):
-    """BSSRDF lobe on a flat plane under a uniform dome: the stage must
-    return albedo * L_sky * CDF(rmax) — the reference's estimator
-    (rlSss.cpp evalProfile/getPdf) integrates the UNtruncated Burley R over
-    the disk truncated at max_radius = 3*max(dist) (rlSss.cpp:26), whose
-    diffusion mass is CDF(3d) = 1 - e^-3/4 - 3e^-1/4 = 0.7117 per equal-d
-    channel. Pins both the 3-axis MIS/pdf weighting scale AND the
-    reference-faithful truncation semantics."""
+    """Standard-shader Ksss lobe on a flat plane under a uniform dome:
+    Arnold 4's raytraced SSS uses the compact-support CUBIC falloff
+    R(r) = 10/(pi d^2)(1-r/d)^3 (unit disk mass) times the calibrated
+    exitance factor STD_SSS_ENERGY — so the stage must return
+    albedo * L_sky * STD_SSS_ENERGY. Pins the 3-axis MIS/pdf weighting
+    scale for cubic lanes AND the calibrated standard-SSS energy."""
+    from rlshaders_tpu.integrator.sss import STD_SSS_ENERGY
+
     scene, out = _render(SCENE_SSS_FURNACE, str(tmp_path))
+    img = out["RGBA"]
+    val = img[6:10, 6:10].mean()
+    expected = 1.0 * 0.3 * STD_SSS_ENERGY
+    assert abs(val - expected) / expected < 0.10, (val, expected)
+
+
+SCENE_SSS_FURNACE_SKIN = SCENE_SSS_FURNACE.replace(
+    "standard\n{\n name mat\n Kd 0\n Kd_color 1 1 1\n diffuse_roughness 0\n"
+    " Ks 0\n Ksss 1\n Ksss_color 1 1 1\n sss_radius 0.3 0.3 0.3\n",
+    "rlSkin\n{\n name mat\n sss_color 1 1 1\n sss_weight 1\n"
+    " sss_scatter_dist 0.3 0.3 0.3\n specular_weight 0\n sheen_weight 0\n",
+)
+
+
+def test_sss_furnace_energy_skin_burley(tmp_path):
+    """rlSkin's BSSRDF keeps the reference's Burley estimator
+    (rlSss.cpp evalProfile/getPdf): the UNtruncated R integrated over the
+    disk truncated at max_radius = 3*max(dist) (rlSss.cpp:26) has diffusion
+    mass CDF(3d) = 1 - e^-3/4 - 3e^-1/4 = 0.7117 per equal-d channel, so
+    the plane returns albedo * L_sky * 0.7117 — distinct from the standard
+    shader's cubic (mass 1.0) by construction."""
+    scene, out = _render(SCENE_SSS_FURNACE_SKIN, str(tmp_path))
     img = out["RGBA"]
     val = img[6:10, 6:10].mean()
     expected = 1.0 * 0.3 * 0.7117
@@ -214,15 +237,17 @@ SCENE_SSS_QUAD = SCENE_QUAD.replace(
 
 
 def test_sss_quad_light_energy(tmp_path):
-    """BSSRDF under a small quad light: with the diffusion radius far below
-    the illumination gradient scale, the SSS exitance must equal the Lambert
-    plane's response times the truncated diffusion mass CDF(3d)=0.7117 —
-    pins the probe-hit direct-lighting path (quad sampling + MIS), which the
-    dome furnace (cosine/sky pickup path) does not exercise."""
+    """Standard-Ksss under a small quad light: with the diffusion radius far
+    below the illumination gradient scale, the SSS exitance must equal the
+    Lambert plane's response times STD_SSS_ENERGY — pins the probe-hit
+    direct-lighting path (quad sampling + MIS), which the dome furnace
+    (cosine/sky pickup path) does not exercise."""
+    from rlshaders_tpu.integrator.sss import STD_SSS_ENERGY
+
     scene, out = _render(SCENE_SSS_QUAD, str(tmp_path))
     img = out["RGBA"]
     val = img[6:10, 6:10].mean()
-    expected = (1.0 / np.pi) * 0.7117
+    expected = (1.0 / np.pi) * STD_SSS_ENERGY
     assert abs(val - expected) / expected < 0.12, (val, expected)
 
 

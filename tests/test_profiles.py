@@ -72,3 +72,52 @@ def test_select_dist_lobe_uniform():
     counts = np.bincount(np.asarray(idx), minlength=3) / 30000
     np.testing.assert_allclose(counts, 1 / 3, atol=0.01)
     assert float(jnp.min(xr)) >= 0.0 and float(jnp.max(xr)) <= 1.0
+
+
+def test_cubic_profile_consistency():
+    """Cubic lanes (Arnold-4 standard falloff): the normalized profile IS
+    the disk pdf, it integrates to exactly 1 over its compact support, and
+    the bisection inverse-CDF sampler matches the pdf."""
+    d = jnp.array([0.7, 0.7, 0.7])
+    p = sp.make_nd_profile(d, cubic=jnp.asarray(True))
+    assert float(p.max_radius) == np.float32(0.7)  # support = d, not 3d
+
+    # mass over the disk = 1
+    rr = jnp.linspace(1e-5, 0.7, 200000)
+    dr = float(rr[1] - rr[0])
+    total = float(jnp.sum(sp.nd_pdf(p, rr) * 2 * np.pi * rr * dr))
+    np.testing.assert_allclose(total, 1.0, rtol=0.005)
+
+    # eval == pdf per channel for the normalized profile
+    ev = np.asarray(sp.nd_eval(p, rr[:1000]))
+    pdf = np.asarray(sp.nd_pdf(p, rr[:1000]))
+    np.testing.assert_allclose(ev.mean(-1), pdf, rtol=1e-4)
+
+    # sampler matches the pdf: histogram chi^2-ish check
+    u = jnp.linspace(0.0005, 0.9995, 40000)
+    r = np.asarray(sp.nd_sample_radius(p, u))
+    assert r.max() <= 0.7 + 1e-4
+    hist, edges = np.histogram(r, bins=24, range=(0, 0.7), density=False)
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    width = edges[1] - edges[0]
+    expect = np.asarray(sp.nd_pdf(p, jnp.asarray(mid))) * 2 * np.pi * mid
+    expect = expect / expect.sum()
+    got = hist / hist.sum()
+    np.testing.assert_allclose(got, expect, atol=2.5 / np.sqrt(40000 / 24))
+
+
+def test_cubic_and_burley_lanes_coexist():
+    """Mixed batches: cubic flag selects per lane without disturbing the
+    Burley lanes (the fused SSS program shades standard + rlSkin hits in
+    one batch)."""
+    d = jnp.broadcast_to(jnp.array([0.5, 0.5, 0.5]), (4, 3))
+    cubic = jnp.array([True, False, True, False])
+    p = sp.make_nd_profile(d, cubic)
+    np.testing.assert_allclose(
+        np.asarray(p.max_radius), [0.5, 1.5, 0.5, 1.5])
+    r = jnp.full((4,), 0.3)
+    pdf = np.asarray(sp.nd_pdf(p, r))
+    p_c = sp.make_nd_profile(d[:1], jnp.asarray([True]))
+    p_b = sp.make_nd_profile(d[:1], jnp.asarray([False]))
+    np.testing.assert_allclose(pdf[0], np.asarray(sp.nd_pdf(p_c, r[:1]))[0])
+    np.testing.assert_allclose(pdf[1], np.asarray(sp.nd_pdf(p_b, r[:1]))[0])
