@@ -278,17 +278,25 @@ def _inv(d):
 
 
 def _block_meta(packed: "PackedScene", rays, n_boxes: int,
-                box_min=None, box_max=None, rank_table=None):
-    """Per-ray-block traversal metadata (dense XLA, no sorting):
-      meta[:, 0] = loop bound: 1 + the largest octant-order rank among the
-                   boxes the block's frustum can touch (0 for miss-all)
+                box_min=None, box_max=None, rank_table=None,
+                proj_table=None):
+    """Per-ray-block traversal metadata AND compacted candidate lists
+    (dense XLA):
+      meta[:, 0] = candidate count: number of boxes the block's frustum can
+                   touch (0 for miss-all)
       meta[:, 1] = dominant direction octant id
       meta[:, 2] = 1.0 when every ray in the block shares that octant
                    (enables the diagonal-projection early break)
       meta[:, 3] = max diagonal projection of the ray origins.
-    Returned as (nb, 128) f32 so it rides an (8, 128) SMEM tile. The box
-    level defaults to clusters (occluded kernel); the nearest kernel passes
-    the super-cluster tables."""
+    Also returns `cand` (nb, Cp) int32 — the surviving box ids in
+    front-to-back octant order — and `cproj` (nb, Cp) f32, their minimum
+    diagonal projections. The kernels walk ONLY these candidates: a skipped
+    (empty-space) cluster costs nothing at all instead of one ~us-scale
+    while_loop iteration + slab test; measured the single biggest nearest-
+    kernel win on coherent camera blocks (walk length drops from the max
+    surviving RANK to the survivor COUNT).
+    meta is (nb, 128) f32 so it rides an (8, 128) SMEM tile; cand/cproj ride
+    (8, Cp) SMEM tiles per 8-block grid group."""
     nb = rays.shape[0]
     o = rays[:, 0:3, :]   # (nb, 3, R)
     d = rays[:, 3:6, :]
@@ -335,8 +343,20 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
     )
 
     rt = rank_table if rank_table is not None else packed.oct_rank
+    pt = proj_table if proj_table is not None else packed.oct_proj
     ranks = rt[oct_id]  # (nb, C)
-    bound = 1 + jnp.max(jnp.where(survive, ranks, -1), axis=1)  # (nb,)
+
+    # compact the survivors into per-block front-to-back candidate lists:
+    # sort box ids by (rank if surviving else C) so survivors lead in walk
+    # order and the count is the loop bound
+    key = jnp.where(survive, ranks, jnp.int32(n_boxes))
+    cand = jnp.argsort(key, axis=1).astype(jnp.int32)      # (nb, C)
+    count = jnp.sum(survive, axis=1).astype(jnp.int32)     # (nb,)
+    projc = jnp.take_along_axis(pt[oct_id], ranks, axis=1)  # (nb, C)
+    cproj = jnp.take_along_axis(projc, cand, axis=1)
+    cp = pt.shape[1]
+    cand = jnp.pad(cand, ((0, 0), (0, cp - n_boxes)))
+    cproj = jnp.pad(cproj, ((0, 0), (0, cp - n_boxes)), constant_values=BIG)
 
     signs = jnp.asarray(_OCT_SIGNS)[oct_id]  # (nb, 3)
     proj_o = jnp.maximum(
@@ -344,19 +364,19 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
     ) * INV_SQRT3
 
     meta = jnp.zeros((nb, 128), jnp.float32)
-    meta = meta.at[:, 0].set(bound.astype(jnp.float32))
+    meta = meta.at[:, 0].set(count.astype(jnp.float32))
     meta = meta.at[:, 1].set(oct_id.astype(jnp.float32))
     meta = meta.at[:, 2].set(pure.astype(jnp.float32))
     meta = meta.at[:, 3].set(proj_o)
-    return meta
+    return meta, cand, cproj
 
 
 def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
     clmin_ref,    # (S*G, 3) SMEM cluster AABBs (padded rows degenerate)
     clmax_ref,    # (S*G, 3) SMEM
-    order_ref,    # (8, Cp) SMEM int32 cluster octant traversal orders
-    proj_ref,     # (8, Cp) SMEM f32 ascending min diagonal projections
+    cand_ref,     # (8, Cp) SMEM int32 per-block candidate lists (front-to-back)
+    cproj_ref,    # (8, Cp) SMEM f32 candidate min diagonal projections
     meta_ref,     # (8, 128) SMEM f32 per-block meta (row = program_id % 8)
     rays_ref,     # (1, 7, RAY_BLOCK) VMEM
     ex_ref,       # (1, 1, RAY_BLOCK) VMEM int32
@@ -371,13 +391,15 @@ def _nearest_kernel(
     n_clusters: int,
     t_eps: float,
 ):
-    """Ordered cluster walk, front-to-back along the block's octant diagonal
-    with an early break on the slowest lane's best t. (A two-level
-    super-cluster variant was measured SLOWER end-to-end on v5e: incoherent
-    GI blocks nearly always hit the fat super boxes and then pay an 8-wide
-    unrolled member descend; the tables remain in PackedScene for future
-    use.) The scene-exit t clamp in _intersect keeps miss lanes from
-    poisoning the break."""
+    """Ordered walk over the block's PRECOMPACTED candidate clusters,
+    front-to-back along its octant diagonal with an early break on the
+    slowest lane's best t. The dense XLA prepass (_block_meta) already
+    frustum-culled the cluster set, so empty-space clusters never cost a
+    loop iteration here. (A two-level super-cluster variant was measured
+    SLOWER end-to-end on v5e: incoherent GI blocks nearly always hit the
+    fat super boxes and then pay an 8-wide unrolled member descend; the
+    tables remain in PackedScene for future use.) The scene-exit t clamp in
+    _intersect keeps miss lanes from poisoning the break."""
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
     oz = rays_ref[0, 2:3, :]
@@ -395,14 +417,17 @@ def _nearest_kernel(
     pure = meta_ref[row, 2] > 0.5
     proj_o = meta_ref[row, 3]
 
+    cap = cproj_ref.shape[1] - 1
+
     def cond(state):
         li, pc, t_best, tri_best, u_best, v_best, t_worst = state
-        # front-to-back: a pure-octant block stops at the first super whose
-        # min diagonal projection lies beyond the slowest ray's best hit
-        # (projection along the unit diagonal is a lower bound on ray t)
+        # front-to-back: a pure-octant block stops at the first candidate
+        # whose min diagonal projection lies beyond the slowest ray's best
+        # hit (projection along the unit diagonal is a lower bound on ray t)
         more = li < bound
         not_past = jnp.logical_or(
-            jnp.logical_not(pure), proj_ref[oct_id, li] - proj_o < t_worst
+            jnp.logical_not(pure),
+            cproj_ref[row, jnp.minimum(li, cap)] - proj_o < t_worst,
         )
         return jnp.logical_and(more, not_past)
 
@@ -436,7 +461,7 @@ def _nearest_kernel(
 
     def cluster_step(state):
         li, pc, t_best, tri_best, u_best, v_best, t_worst = state
-        ci = order_ref[oct_id, li]
+        ci = cand_ref[row, li]
         tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
         any_hit = jnp.any((tf >= jnp.maximum(tn, 0.0)) & (tn < t_best))
         pc = pc + any_hit.astype(jnp.int32)
@@ -477,7 +502,7 @@ def _nearest_kernel(
 
 
 def _occluded_kernel(
-    vismask_ref, clmin_ref, clmax_ref, order_ref, proj_ref, meta_ref,
+    vismask_ref, clmin_ref, clmax_ref, cand_ref, cproj_ref, meta_ref,
     rays_ref, ex_ref, comp_ref, vis_ref, orig_ref, opq_ref, blocked_out, *,
     n_clusters: int, t_eps: float,
 ):
@@ -499,17 +524,20 @@ def _occluded_kernel(
     proj_o = meta_ref[row, 3]
     t_stop = jnp.max(tmax)
 
+    cap = cproj_ref.shape[1] - 1
+
     def cond(state):
         li, blocked, all_blocked = state
         more = jnp.logical_and(li < bound, jnp.logical_not(all_blocked))
         not_past = jnp.logical_or(
-            jnp.logical_not(pure), proj_ref[oct_id, li] - proj_o < t_stop
+            jnp.logical_not(pure),
+            cproj_ref[row, jnp.minimum(li, cap)] - proj_o < t_stop,
         )
         return jnp.logical_and(more, not_past)
 
     def cluster_step(state):
         li, blocked, all_blocked = state
-        ci = order_ref[oct_id, li]
+        ci = cand_ref[row, li]
         tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
         box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax) & (blocked == 0)
         any_hit = jnp.any(box_hit)
@@ -657,7 +685,8 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
-    meta = _block_meta(packed, rays, c)
+    meta, cand, cproj = _block_meta(packed, rays, c)
+    cp = cand.shape[1]
 
     kernel = partial(_nearest_kernel, n_clusters=c, t_eps=t_eps)
     t, tri, u, v = pl.pallas_call(
@@ -667,8 +696,8 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -693,8 +722,8 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
-        packed.oct_order,
-        packed.oct_proj,
+        cand,
+        cproj,
         meta,
         rays,
         ex,
@@ -754,7 +783,8 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
-    meta = _block_meta(packed, rays, c)
+    meta, cand, cproj = _block_meta(packed, rays, c)
+    cp = cand.shape[1]
 
     kernel = partial(_occluded_kernel, n_clusters=c, t_eps=t_eps)
     (blocked,) = pl.pallas_call(
@@ -764,8 +794,8 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 7, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -783,8 +813,8 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         jnp.full((1, 1), vis_mask, jnp.int32),
         packed.cl_min,
         packed.cl_max,
-        packed.oct_order,
-        packed.oct_proj,
+        cand,
+        cproj,
         meta,
         rays,
         ex,
