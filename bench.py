@@ -10,7 +10,7 @@ is the clearcoat-ON number (no self-serving configuration).
 Also measured and reported in the same JSON line under "extra":
   * disney_gsps_cc_off      — clearcoat-off variant
   * render_mrays_s          — end-to-end wavefront render of testsuite case
-                              0001 (trace+shade+occlude+splat) in Mrays/s
+                              0004 (trace+shade+occlude+splat) in Mrays/s
   * render_seconds          — wall time of that render (256x256, AA 3)
   * scaling                 — measured throughput ratios on a virtual CPU
                               mesh (1 vs 2 vs 4 vs 8 devices) for the
@@ -126,9 +126,11 @@ def bench_bsdf(clearcoat: float) -> float:
 
 
 def bench_render():
-    """End-to-end wavefront render of testsuite case 0001 at reference
-    settings; returns (mrays_s, seconds)."""
-    scene_path = "/root/reference/testsuite/mtoa/0001/data/ggx_teflon.ass"
+    """End-to-end wavefront render of testsuite case 0004 at reference
+    settings (256x256, AA 3 — the representative shared-scene case; 0001's
+    high diffuse-sample budget takes ~12 min/frame and is scored by the
+    testsuite harness instead); returns (mrays_s, seconds)."""
+    scene_path = "/root/reference/testsuite/mtoa/0004/data/disney.ass"
     if not os.path.exists(scene_path):
         return None, None
     from rlshaders_tpu.accel import trace as tracemod
@@ -138,9 +140,9 @@ def bench_render():
     scene = buildmod.build(scene_path)
     accel = tracemod.build(scene.geometry)
     # warm-up at the SAME shape so compiles land outside the timed region
-    np.asarray(wavefront.render(scene, accel, tile_pixels=65536)["RGBA"])
+    np.asarray(wavefront.render(scene, accel, tile_pixels=8192)["RGBA"])
     t0 = time.perf_counter()
-    out = wavefront.render(scene, accel, tile_pixels=65536)
+    out = wavefront.render(scene, accel, tile_pixels=8192)
     np.asarray(out["RGBA"])  # host fetch: axon completion isn't observable
     dt = time.perf_counter() - t0
     stats = out.get("__stats__", {})
