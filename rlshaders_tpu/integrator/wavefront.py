@@ -294,6 +294,9 @@ class LightGrid(NamedTuple):
     w_d: jnp.ndarray      # (K,) per-column diffuse weight (affect/ns)
     w_s: jnp.ndarray      # (K,)
     nl: jnp.ndarray       # (K,) sample counts for MIS
+    is_sky: jnp.ndarray   # (K,) 1.0 for skydome columns (separate MIS
+                          # accounting: the depth-exhausted fallback picks
+                          # up quad/disk emission but has no sky strategy)
 
 
 def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
@@ -310,9 +313,9 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
     in the frame."""
     n = pv.x.shape[0]
     dirs, dists, rads, pdfs = [], [], [], []
-    col_w_d, col_w_s, col_nl = [], [], []
+    col_w_d, col_w_s, col_nl, col_sky = [], [], [], []
 
-    def add(ls, k, w_d, w_s, s):
+    def add(ls, k, w_d, w_s, s, sky=0.0):
         dirs.append(ls.direction)
         dists.append(ls.dist)
         rads.append(ls.radiance)
@@ -320,6 +323,7 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
         col_w_d.extend([w_d / s] * k)
         col_w_s.extend([w_s / s] * k)
         col_nl.extend([s] * k)
+        col_sky.extend([sky] * k)
 
     ql = sc.quad_lights
     for li, valid in enumerate(static.quad_valid):
@@ -364,7 +368,7 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
         else:
             u = rng.uniform2(rng.fold(key, 501), (s * n,))
         ls = lightsmod.sample_sky_flat(sc.sky_radiance, vec3.tile(nfv, s), u)
-        add(ls, s, static.sky_w_d, static.sky_w_s, s)
+        add(ls, s, static.sky_w_d, static.sky_w_s, s, sky=1.0)
 
     if not dirs:
         return None  # no light columns (e.g. sky-only scene, dome deduped)
@@ -379,19 +383,27 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
         w_d=jnp.asarray(col_w_d, jnp.float32),
         w_s=jnp.asarray(col_w_s, jnp.float32),
         nl=jnp.asarray(col_nl, jnp.float32),
+        is_sky=jnp.asarray(col_sky, jnp.float32),
     )
 
 
 def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
-                   nb_diffuse, nb_glossy):
+                   nb_diffuse, nb_glossy, sky_nb_d=None, sky_nb_g=None):
     """MIS-weighted reduction of the flat light grid -> (diffuse V3,
     specular V3), both (N,) channels.
 
-    nb_* are the BSDF-strategy sample counts competing in the MIS. At
-    secondary hits no BSDF rays are spawned, so callers pass 0 and the light
-    strategy takes full weight — otherwise the BSDF-weighted share of the
-    energy would be silently dropped.
+    nb_* are the BSDF-strategy sample counts competing in the MIS for the
+    QUAD/DISK columns; sky_nb_* (default: same) are the counts for the SKY
+    columns. They differ at depth-exhausted secondary hits: the 1-sample
+    _spec_direct_t fallback picks up quad/disk emission (so quad columns
+    keep nb=1) but has NO sky strategy — the sky column must then take FULL
+    weight (sky_nb=0), otherwise its BSDF-weighted share (~half, the sky
+    pdf matching the cosine lobe) is silently dropped at every GI bounce.
     """
+    if sky_nb_d is None:
+        sky_nb_d = nb_diffuse
+    if sky_nb_g is None:
+        sky_nb_g = nb_glossy
     n = wo_local.x.shape[0]
     k = grid.pdf.shape[0] // n
     frame_k = Frame(
@@ -412,14 +424,16 @@ def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
     nl_r = jnp.repeat(grid.nl, n)
     w_d_r = jnp.repeat(grid.w_d, n)
     w_s_r = jnp.repeat(grid.w_s, n)
-    wl_d = (
-        lightsmod.mis_weight(nl_r * grid.pdf, nb_diffuse * pd)
-        if nb_diffuse > 0 else 1.0
+    # per-column effective BSDF-strategy counts (sky columns may differ);
+    # a zero count makes mis_weight exactly 1 on live columns
+    nbd_r = jnp.repeat(
+        jnp.where(grid.is_sky > 0.5, float(sky_nb_d), float(nb_diffuse)), n
     )
-    wl_s = (
-        lightsmod.mis_weight(nl_r * grid.pdf, nb_glossy * ps)
-        if nb_glossy > 0 else 1.0
+    nbg_r = jnp.repeat(
+        jnp.where(grid.is_sky > 0.5, float(sky_nb_g), float(nb_glossy)), n
     )
+    wl_d = lightsmod.mis_weight(nl_r * grid.pdf, nbd_r * pd)
+    wl_s = lightsmod.mis_weight(nl_r * grid.pdf, nbg_r * ps)
     diffuse = vec3.ksum(grid.rad * trans_ip * (wl_d * w_d_r) * fd, k)
     specular = vec3.ksum(grid.rad * trans_ip * (wl_s * w_s_r) * fs, k)
     return diffuse, specular
@@ -715,7 +729,7 @@ class SSSIn(NamedTuple):
 
 def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
                  indirect_scaled, base_fp=None, spread=None, trace_pack=None,
-                 ctx: SampleCtx = None, ray_lobe="camera"):
+                 ctx: SampleCtx = None, ray_lobe="camera", rr=(0, 0, 0, 0)):
     n = o.shape[0]
     if base_fp is None:
         base_fp = jnp.zeros((n,), jnp.float32)
@@ -774,11 +788,25 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         # ray families; at secondary hits both lobes MIS against the
         # 1-sample BSDF strategy (continuation family or spec_direct
         # fallback). The reference's AiEvaluateLightSample always runs both
-        # strategies.
+        # strategies. The SKY column's BSDF-side strategy exists only where
+        # a continuation family spawns (the depth-exhausted fallback covers
+        # quad/disk emission but not the sky), so its MIS count is gated by
+        # the same depth conditions _secondary_indirect_t applies.
         nb_d = static.nb_d if camera_level else 1
         nb_g = static.nb_g if camera_level else 1
+        if camera_level:
+            sky_nb_d, sky_nb_g = nb_d, nb_g
+        else:
+            rd_, rg_, _rrf_, rt_ = rr
+            cont_d = (rd_ < conf.gi_diffuse_depth
+                      and rt_ < conf.gi_total_depth)
+            cont_g = (ray_lobe != "diffuse"
+                      and rg_ < conf.gi_glossy_depth
+                      and rt_ < conf.gi_total_depth)
+            sky_nb_d = 1 if cont_d else 0
+            sky_nb_g = 1 if cont_g else 0
         diffuse, specular = _direct_reduce(matv, frame, wo, grid, shadowed,
-                                           nb_d, nb_g)
+                                           nb_d, nb_g, sky_nb_d, sky_nb_g)
     else:
         zero = jnp.zeros_like(pv.x)
         diffuse = V3(zero, zero, zero)
@@ -935,7 +963,7 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
     surf, matg, matv, pv, nfv, frame, wo, rgb, aov_d, aov_s, tp = (
         _gen_shade_t(
             sc, static, conf, o, d, key, vis, camera_level, indirect_scaled,
-            base_fp, spread, trace_pack, ctx=ctx, ray_lobe=ray_lobe,
+            base_fp, spread, trace_pack, ctx=ctx, ray_lobe=ray_lobe, rr=rr,
         )
     )
     tri = tp[1]
