@@ -23,10 +23,19 @@ args = p.parse_args()
 
 if args.platform:
     os.environ["JAX_PLATFORMS"] = args.platform
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize registers its TPU plugin at python startup and
+    # ignores later env edits; pop its trigger AND update jax.config below
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
 
 import rlshaders_tpu  # noqa: F401
+import jax
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 from rlshaders_tpu.accel import trace as tracemod
 from rlshaders_tpu.integrator import wavefront
 from rlshaders_tpu.io import exr

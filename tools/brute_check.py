@@ -28,12 +28,21 @@ p.add_argument("--skip-wavefront", action="store_true")
 args = p.parse_args()
 if args.platform:
     os.environ["JAX_PLATFORMS"] = args.platform
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize forces the TPU plugin whenever this is set,
+    # ignoring JAX_PLATFORMS
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np
 
 import rlshaders_tpu  # noqa: F401
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize registers its PJRT plugin at python startup;
+    # the config update wins as long as no backend has initialized yet
+    jax.config.update("jax_platforms", "cpu")
 
 from rlshaders_tpu.accel import trace as tracemod
 from rlshaders_tpu.bsdf import disney, orennayar

@@ -20,12 +20,17 @@ p.add_argument("case", nargs="?", default="0004")
 p.add_argument("--render", action="store_true")
 p.add_argument("--brute", action="store_true")
 p.add_argument("--paths", type=int, default=96)
+p.add_argument("--only", default=None, help="run a single variant tag (quad0/quad1/quad2/skyonly)")
 p.add_argument("--platform", default=None)
 args = p.parse_args()
 if args.platform:
     os.environ["JAX_PLATFORMS"] = args.platform
 if args.brute and not args.platform:
     os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize forces the TPU plugin whenever this is set,
+    # ignoring JAX_PLATFORMS
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 from dataclasses import replace as dc_replace  # noqa: E402
 
@@ -34,6 +39,11 @@ import numpy as np  # noqa: E402
 import rlshaders_tpu  # noqa: F401, E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize registers its PJRT plugin at python startup;
+    # the config update wins as long as no backend has initialized yet
+    jax.config.update("jax_platforms", "cpu")
 
 from rlshaders_tpu.accel import trace as tracemod  # noqa: E402
 from rlshaders_tpu.scene import build as buildmod  # noqa: E402
@@ -148,10 +158,12 @@ def to_local(t, b, n, w):
     return np.stack([(w * t).sum(1), (w * b).sum(1), (w * n).sum(1)], 1)
 
 
-def occluded_np(o, d, tmax):
+def occluded_np(o, d, tmax, extri=None):
+    ex = None if extri is None else jnp.asarray(extri, jnp.int32)
     return np.asarray(tracemod.occluded(
         accel, g, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
-        jnp.asarray(tmax, jnp.float32), vis_mask=VIS_SHADOW))
+        jnp.asarray(tmax, jnp.float32), vis_mask=VIS_SHADOW,
+        exclude_tri=ex))
 
 
 def nearest_np(o, d, vis):
@@ -196,7 +208,7 @@ def f_cos_local(mid_arr, wo_l, wi_l):
     return out
 
 
-def direct_quads(sc, p, ns, wo, mid_arr, nl=2):
+def direct_quads(sc, p, ns, wo, mid_arr, nl=2, extri=None):
     qv = np.asarray(sc.quad_lights.verts)
     qn = np.asarray(sc.quad_lights.normal)
     qa = np.asarray(sc.quad_lights.area)
@@ -225,7 +237,7 @@ def direct_quads(sc, p, ns, wo, mid_arr, nl=2):
             wo_l = to_local(t, b, ns, wo)
             fc = f_cos_local(mid_arr, wo_l, wi_l)
             geom = cos_l / d2 * qa[li]
-            sh = occluded_np(p + wi * EPS, wi, dist - 2 * EPS)
+            sh = occluded_np(p + wi * EPS, wi, dist - 2 * EPS, extri)
             w = np.where(ok & ~sh, geom, 0.0)
             acc += fc * (qr[li][None] * w[:, None]) / nl
     return acc
@@ -255,7 +267,8 @@ def run_patch(sc, sky_rad, yx, n_paths):
         ns[flip] = -ns[flip]
         mid_arr = np.asarray(g.mat_id)[tri_c]
 
-        lsum = direct_quads(sc, p, ns, wo, mid_arr, nl=2)
+        lsum = direct_quads(sc, p, ns, wo, mid_arr, nl=2,
+                            extri=np.maximum(tri, -1))
 
         t_, b_ = frame(ns)
         u1 = rng_np.random(len(pix)).astype(np.float32)
@@ -286,7 +299,8 @@ def run_patch(sc, sky_rad, yx, n_paths):
             flip2 = (ns2 * wo2).sum(1) < 0
             ns2[flip2] = -ns2[flip2]
             mid2 = np.asarray(g.mat_id)[tri2c]
-            l2 = direct_quads(sc, p2, ns2, wo2, mid2, nl=2)
+            l2 = direct_quads(sc, p2, ns2, wo2, mid2, nl=2,
+                              extri=np.maximum(tri2[h2], -1))
             t2_, b2_ = frame(ns2)
             v1_ = rng_np.random(int(h2.sum())).astype(np.float32)
             v2_ = rng_np.random(int(h2.sum())).astype(np.float32)
@@ -309,6 +323,8 @@ def run_patch(sc, sky_rad, yx, n_paths):
 
 scene = detextured()
 for tag, sc in variants(scene):
+    if args.only and tag != args.only:
+        continue
     wfp = f"out/iso_{tag}_{case}.npy"
     if not os.path.exists(wfp):
         print(f"[{tag}] missing {wfp} — run --render first")
