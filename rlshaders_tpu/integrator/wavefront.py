@@ -439,11 +439,22 @@ def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
     return diffuse, specular
 
 
-def _light_pickup(sc, static, o: V3, d: V3, scene_t, lobe_pdf, nb,
-                  camera_level, lobe="specular") -> V3:
-    """Analytic BSDF-ray emission pickup over the area lights (V3 flat)."""
+def _light_pickup(sc, static, o: V3, d: V3, lobe_pdf, nb,
+                  camera_level, lobe="specular"):
+    """Analytic BSDF-ray emission pickup over the area lights (V3 flat).
+
+    Returns (emission*fac*mis_weight V3, t_light) for the NEAREST light hit
+    along each ray. The occlusion test is the CALLER's responsibility and
+    must use SHADOW-ray semantics (a dedicated shadow segment to t_light):
+    Arnold's BSDF-side light strategy shoots shadow rays, so geometry that
+    is diffuse/glossy-visible but shadow-invisible (the shared scene's side
+    walls, visibility 253, sitting IN FRONT of the side lights) must not
+    kill the pickup — gating on the GI ray's own geometry hit silently
+    dropped the whole BSDF-side MIS share of those lights (measured -14%
+    on 0004's ball under the left light alone)."""
     zero = jnp.zeros_like(lobe_pdf)
     out = V3(zero, zero, zero)
+    t_light = jnp.full_like(lobe_pdf, 1e30)
     ql = sc.quad_lights
     for li in range(len(static.quad_valid)):
         if not static.quad_valid[li]:
@@ -453,13 +464,14 @@ def _light_pickup(sc, static, o: V3, d: V3, scene_t, lobe_pdf, nb,
             continue
         nl = static.quad_samples[li] ** 2 if camera_level else 1
         hit, t = lightsmod.intersect_quad_flat(ql.verts[li], ql.normal[li], o, d)
-        vis = hit & (t < scene_t)
         nlv = ql.normal[li]
         cos_l = jnp.abs(vec3.dot(d, V3(nlv[0], nlv[1], nlv[2])))
         p_l = (t * t) / jnp.maximum(cos_l * ql.area[li], 1e-12)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
         rad = ql.radiance[li]
-        out = out + V3(rad[0], rad[1], rad[2]) * jnp.where(vis, fac * w, 0.0)
+        take = hit & (t < t_light)
+        out = vec3.where(take, V3(rad[0], rad[1], rad[2]) * (fac * w), out)
+        t_light = jnp.where(take, t, t_light)
     dl = sc.disk_lights
     for li in range(len(static.disk_valid)):
         if not static.disk_valid[li]:
@@ -471,14 +483,15 @@ def _light_pickup(sc, static, o: V3, d: V3, scene_t, lobe_pdf, nb,
         hit, t = lightsmod.intersect_disk_flat(
             dl.center[li], dl.u[li], dl.v[li], dl.normal[li], o, d
         )
-        vis = hit & (t < scene_t)
         nlv = dl.normal[li]
         cos_l = jnp.abs(vec3.dot(d, V3(nlv[0], nlv[1], nlv[2])))
         p_l = (t * t) / jnp.maximum(cos_l * dl.area[li], 1e-12)
         w = lightsmod.mis_weight(nb * lobe_pdf, nl * p_l)
         rad = dl.radiance[li]
-        out = out + V3(rad[0], rad[1], rad[2]) * jnp.where(vis, fac * w, 0.0)
-    return out
+        take = hit & (t < t_light)
+        out = vec3.where(take, V3(rad[0], rad[1], rad[2]) * (fac * w), out)
+        t_light = jnp.where(take, t, t_light)
+    return out, t_light
 
 
 def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, miss, lobe_pdf, nb,
@@ -843,10 +856,25 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
     o1 = oV.aos()
     d1 = dV.aos()
     hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1, vis_mask=vis)
-    scene_t = jnp.where(hit.tri >= 0, hit.t, 1e30)
     nf_rep = vec3.tile(nfv, nb)
-    pick = _light_pickup(sc, static, oV, dV, scene_t, pdf1, nb,
-                         cam_pickup, lobe=lobe)
+    emit, t_light = _light_pickup(sc, static, oV, dV, pdf1, nb,
+                                  cam_pickup, lobe=lobe)
+    if sum(static.quad_valid) or sum(static.disk_valid):
+        # Arnold's BSDF-side light strategy is a SHADOW query to the light
+        # hit (shadow visibility + transparent shadows), NOT the GI ray's
+        # geometry hit — shadow-invisible geometry in front of a light (the
+        # shared scene's side walls) must not kill the emission. Lanes with
+        # no light hit carry t_max 0 and are nearly free in the kernel.
+        sh_t = jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0)
+        ex = jnp.tile(surf.tri, nb)
+        trans = _shadow_transmission(sc, static, (o1, d1, sh_t, ex))
+        rcv = jnp.tile(
+            sc.geometry.receive_shadows[jnp.maximum(surf.tri, 0)], nb
+        )
+        trans = vec3.where(rcv, trans, 1.0)
+        pick = emit * trans
+    else:
+        pick = emit
     sky_full = cam_pickup and static.nb_d > 0 and static.nb_g > 0
     pick = pick + _sky_pickup(sc, static, nf_rep, dV, hit.tri < 0, pdf1,
                               nb, lobe=lobe, full_weight=sky_full)

@@ -417,3 +417,133 @@ def test_sky_gi_closure_vs_brute(tmp_path):
     m = slice(4, 12)
     ratio = wf[m, m].mean() / brute[m, m].mean()
     assert abs(ratio - 1.0) < 0.04, (wf[m, m].mean(), brute[m, m].mean())
+
+
+SCENE_PICKUP_WALL = """
+options
+{
+ AA_samples 3
+ xres 16
+ yres 16
+ GI_diffuse_depth %d
+ GI_glossy_depth 0
+ GI_diffuse_samples 3
+ GI_glossy_samples 3
+ GI_total_depth 10
+ camera "cam"
+}
+persp_camera
+{
+ name cam
+ fov 30
+ matrix
+ 1 0 0 0
+ 0 0 -1 0
+ 0 1 0 0
+ 0 3 0 1
+}
+quad_light
+{
+ name q
+ vertices 4 1 POINT
+-2 0 -2 2 0 -2 2 0 2 -2 0 2
+ decay_type "quadratic"
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 1.0 0 1
+ color 1 1 1
+ intensity 4
+ exposure 0
+ samples 3
+ normalize on
+ affect_diffuse on
+ affect_specular on
+ diffuse 1
+ specular 1
+}
+polymesh
+{
+ name blocker
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-20 0.5 20 20 0.5 20 -20 0.5 -20 20 0.5 -20
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 0 0 1
+ shader "black"
+ visibility 252
+ opaque on
+}
+polymesh
+{
+ name floor
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-50 0 50 50 0 50 -50 0 -50 50 0 -50
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 0 0 1
+ shader "sg"
+ visibility 255
+ opaque on
+}
+MayaShadingEngine
+{
+ name black
+ beauty bmat
+}
+standard
+{
+ name bmat
+ Kd 0
+ Ks 0
+}
+MayaShadingEngine
+{
+ name sg
+ beauty mat
+}
+standard
+{
+ name mat
+ Kd 0.9
+ Kd_color 1 1 1
+ diffuse_roughness 0
+ Ks 0
+}
+"""
+
+
+def test_bsdf_pickup_uses_shadow_visibility(tmp_path):
+    """A black, shadow-invisible blocker (visibility 252: camera+shadow
+    bits off, diffuse bit on) sits between a BIG close quad light and the
+    floor. Arnold semantics: the light is unshadowed (shadow rays ignore
+    the blocker), so the frame must be identical with GI depth 0 (light
+    strategy at full weight — pickup plays no role) and depth 1 (the light
+    strategy MIS-splits with the BSDF family whose rays DO hit the
+    blocker). Regression: the pickup used the GI ray's geometry hit as its
+    occlusion test and silently dropped the whole BSDF-side share of any
+    light behind shadow-invisible geometry (-14% on golden 0004's ball)."""
+    _, out0 = _render(SCENE_PICKUP_WALL % 0, str(tmp_path))
+    _, out1 = _render(SCENE_PICKUP_WALL % 1, str(tmp_path))
+    a = out0["RGBA"][5:11, 5:11].mean()
+    b = out1["RGBA"][5:11, 5:11].mean()
+    assert abs(b / a - 1.0) < 0.03, (a, b, b / a)
