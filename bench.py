@@ -132,7 +132,8 @@ def bench_render():
     testsuite harness instead); returns (mrays_s, seconds)."""
     scene_path = "/root/reference/testsuite/mtoa/0004/data/disney.ass"
     if not os.path.exists(scene_path):
-        return None, None
+        print(json.dumps({"mrays": None, "seconds": None}))
+        return
     from rlshaders_tpu.accel import trace as tracemod
     from rlshaders_tpu.integrator import wavefront
     from rlshaders_tpu.scene import build as buildmod
@@ -147,7 +148,23 @@ def bench_render():
     dt = time.perf_counter() - t0
     stats = out.get("__stats__", {})
     total = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)
-    return total / dt / 1e6, dt
+    print(json.dumps({"mrays": total / dt / 1e6, "seconds": dt}))
+
+
+def bench_render_subprocess():
+    """Run bench_render in a child with a hard timeout so a pathological
+    compile can never prevent the headline JSON line from being printed."""
+    budget = int(os.environ.get("RLS_BENCH_RENDER_TIMEOUT", "1500"))
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--render-bench"],
+            capture_output=True, text=True, timeout=budget,
+            env=dict(os.environ),
+        )
+        got = json.loads(p.stdout.strip().splitlines()[-1])
+        return got["mrays"], got["seconds"]
+    except Exception:
+        return None, None
 
 
 def bench_scaling():
@@ -191,7 +208,7 @@ def main():
     gsps_on = bench_bsdf(clearcoat=0.8)
     gsps_off = bench_bsdf(clearcoat=0.0)
     if os.environ.get("RLS_BENCH_RENDER", "1") == "1":
-        mrays, seconds = bench_render()
+        mrays, seconds = bench_render_subprocess()
     else:
         mrays, seconds = None, None
     scaling = None
@@ -223,4 +240,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--render-bench":
+        bench_render()
+    else:
+        main()
