@@ -105,20 +105,29 @@ def step(params, wo, key, cc: bool):
 def bench_bsdf(clearcoat: float) -> float:
     """Gsamples/s for one clearcoat configuration.
 
-    Timing fetches the result to host: on the tunneled TPU,
+    Timing must fetch a result to host: on the tunneled TPU,
     block_until_ready returns before remote execution completes (measured),
-    so device-only timing under-reports by orders of magnitude."""
+    so device-only timing under-reports by orders of magnitude. The timed
+    program therefore reduces the frame to 3 scalars and fetches THOSE —
+    forcing all compute to finish while keeping the ~200 MB tunnel transfer
+    of the raw frame (which would dominate the measurement; see
+    tools/bisect_clearcoat.py) out of the timed region."""
     params, wo = make_scene_batch(clearcoat)
     cc = disney.has_clearcoat(params)
-    fn = jax.jit(lambda p, w, k: step(p, w, k, cc))
+
+    def reduced(p, w, k):
+        out = step(p, w, k, cc)
+        return jnp.stack([out.x.sum(), out.y.sum(), out.z.sum()])
+
+    fn = jax.jit(reduced)
     key = rng.stream(0)
-    _ = np.asarray(fn(params, wo, key).x)
+    _ = np.asarray(fn(params, wo, key))
 
     n_iters = 10
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = fn(params, wo, rng.fold(key, i))
-    _ = np.asarray(out.x)
+    _ = np.asarray(out)
     dt = (time.perf_counter() - t0) / n_iters
     # each pixel-sample draws TWO full BSDF samples (specular mixture and
     # diffuse), each with eval + both MIS pdfs

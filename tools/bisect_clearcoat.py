@@ -1,9 +1,10 @@
 """Bisect the clearcoat-ON bench collapse (round-2 finding).
 
-Measured on the real chip via bench.py's own like-for-like methodology
-(identical output shapes and host fetches for both variants):
-  clearcoat-OFF step: 0.47 Gsamples/s   (~0.07 s/iter at 1080p x 8 spp)
-  clearcoat-ON  step: 0.027 Gsamples/s  (~1.24 s/iter) -- ~18x slower.
+Measured on the real chip with reduced (3-scalar) outputs:
+  clearcoat-OFF step: 0.72 Gsamples/s   (~0.046 s/iter at 1080p x 8 spp)
+  clearcoat-ON  step: 0.103 Gsamples/s  (~0.32 s/iter) -- ~7x slower.
+(An earlier 18x reading via 200 MB raw-frame fetches was a measurement
+artifact; bench.py now times the reduced program too.)
 
 The GTR1 sampler itself is a handful of transcendentals (exp/log/sin/cos)
 over the same lane count, which back-of-envelope costs ~0.03 s/iter on the
