@@ -63,6 +63,15 @@ def make_scene_batch(clearcoat: float):
         clearcoat_gloss=0.7,
         subsurface=0.2,
     )
+    # Broadcast every rank-0 field to full lane width. Rank-0 jit parameters
+    # are placed in HOST memory (S(6)) by XLA:TPU, and on this backend every
+    # fusion that reads one pays a host-memory DMA per execution — measured
+    # 0.28 s/iter with scalar params vs 0.0091 s/iter lane-broadcast at
+    # 512x512 (the entire "clearcoat-on collapse" was this, not the GTR1
+    # mixture). Production material tables are per-shading-point anyway.
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,)) if a.ndim == 0 else a, params
+    )
     t = 0.3 + 0.5 * y
     st = jnp.sqrt(1.0 - t * t)
     wo = V3(st, jnp.zeros_like(t), t)

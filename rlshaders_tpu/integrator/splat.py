@@ -31,11 +31,16 @@ def filter_alpha() -> float:
 
 @partial(jax.jit, static_argnames=("xres", "yres", "filter_width",
                                    "tile_rays", "alpha"))
-def splat_accum(vals, pixel_full, sub_xy_full, start, image, wsum,
+def splat_accum(vals, pixel_full, sub_xy_full, start1, image, wsum,
                 xres: int, yres: int, filter_width: float, tile_rays: int,
                 alpha: float = ALPHA):
     """Slice this tile's pixel/sub_xy out of the frame arrays, splat, and
-    accumulate into the running framebuffer — one dispatch per tile."""
+    accumulate into the running framebuffer — one dispatch per tile.
+
+    `start1` is the tile offset as a (1,) int32 array — rank-0 jit params
+    land in host memory S(6) and cost a per-use DMA on the axon backend
+    (docs/perf.md)."""
+    start = start1[0]
     pixel = jax.lax.dynamic_slice(pixel_full, (start,), (tile_rays,))
     sub_xy = jax.lax.dynamic_slice(sub_xy_full, (start, 0), (tile_rays, 2))
     img_t, ws_t = _splat(vals, pixel, sub_xy, xres, yres, filter_width, alpha)

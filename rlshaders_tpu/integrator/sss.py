@@ -233,6 +233,10 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
            aa=None, salt=None, *, n_sss, gi_diffuse, k_probe,
            use_sobol=False):
     """The fused probe-march SSS program (all K_PROBE traces inside)."""
+    if salt is not None and getattr(salt, "ndim", 0) == 1:
+        # salt arrives as (1,) — rank-0 jit params land in host memory S(6)
+        # and cost a per-use DMA on the axon backend (docs/perf.md)
+        salt = salt[0]
     n0 = surf_p.shape[0]
     # Arnold-4 cubic falloff for `standard` Ksss lanes, Burley for rlSkin
     profile0 = sp.make_nd_profile(sss_dist, cubic_flag)  # fields (N0, ...)

@@ -81,8 +81,11 @@ class DeviceScene(NamedTuple):
     sky_radiance: jnp.ndarray  # (3,)
     textures: "object"     # scene.texture.TextureStack
     accel: "object"        # accel.trace.Accel (BVH arrays + Pallas packing)
-    lod_bias: jnp.ndarray  # () texture-minification calibration (traced so
-    #                        RLS_LOD_BIAS sweeps reuse the compiled program)
+    lod_bias: jnp.ndarray  # (1,) texture-minification calibration (traced so
+    #                        RLS_LOD_BIAS sweeps reuse the compiled program;
+    #                        shape (1,) NOT () — rank-0 jit params land in
+    #                        host memory S(6) and cost a per-use DMA on the
+    #                        axon backend, docs/perf.md)
 
 
 class SceneStatic(NamedTuple):
@@ -169,8 +172,8 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
         # cone DIAMETER, one level wider than the per-pixel derivative
         # Arnold's smart_bicubic sees; backdrop RMSE improves monotonically
         # 0 -> -0.5 and saturates past -0.75 (sweep4 log).
-        lod_bias=jnp.asarray(
-            float(os.environ.get("RLS_LOD_BIAS", "-0.5")), jnp.float32
+        lod_bias=jnp.full(
+            (1,), float(os.environ.get("RLS_LOD_BIAS", "-0.5")), jnp.float32
         ),
     ))
 
@@ -765,7 +768,7 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
     matg = dispatch.gather(
         sc.materials, sc.textures, surf.mat_id, surf.uv,
         surf.entering, surf.p, fp=surf.fp, fp_uv=surf.fp_uv,
-        lod_bias=sc.lod_bias, tex_gamma=static.tex_gamma,
+        lod_bias=sc.lod_bias[0], tex_gamma=static.tex_gamma,
         diffuse_ray=(ray_lobe == "diffuse"),
     )
     matv = dispatch.to_v(matg)
@@ -1042,11 +1045,16 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
 
 @partial(jax.jit, static_argnames=("static", "conf", "tile_rays"))
 def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
-            start, key, *, tile_rays):
+            start1, key, *, tile_rays):
     """ONE compiled program for a full tile: slice the tile's rays out of
     the frame arrays, then the whole generation tree (every trace, shadow
     batch, continuation and splice), minus the host-compacted camera-level
-    SSS stage."""
+    SSS stage.
+
+    `start1` is the tile offset as a (1,) int32 array — rank-0 jit params
+    are placed in host memory (S(6)) and cost a per-use DMA on the axon
+    backend (docs/perf.md), so the scalar is extracted on-device."""
+    start = start1[0]
     origin = jax.lax.dynamic_slice(origin_full, (start, 0), (tile_rays, 3))
     direction = jax.lax.dynamic_slice(
         direction_full, (start, 0), (tile_rays, 3)
@@ -1138,7 +1146,9 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
         sss_weight=matg0.sss_weight, sss_dist=matg0.sss_dist.aos(),
         sss_color=matg0.sss_color.aos(), cavity_fadeout=matg0.cavity_fadeout,
         cubic=matg0.mtype == dispatch.MAT_STANDARD,
-        pix=ctx_full.pix, aa=ctx_full.aa, salt=ctx_full.salt,
+        # salt crosses the program boundary into _j_sss as (1,), not rank-0:
+        # scalar jit params land in host memory S(6) (docs/perf.md)
+        pix=ctx_full.pix, aa=ctx_full.aa, salt=ctx_full.salt.reshape(1),
     )
     return rgb.aos(), aovs, sss_in
 
@@ -1285,10 +1295,13 @@ class TileRenderer:
     def render_tile_at(self, origin_full, direction_full, pixel_full, start,
                        tile_rays, key):
         self._estimate_tile_rays(tile_rays)
+        # (1,) not rank-0: scalar jit params live in host memory (S(6)) and
+        # cost a per-use DMA on the axon backend (docs/perf.md)
+        start1 = jnp.asarray(start, jnp.int32).reshape(1)
         rgb, aovs, sss_in = self._run(
             "tile", _j_tile,
             self.sc, self.static, self.conf, origin_full, direction_full,
-            pixel_full, start, key, tile_rays=tile_rays,
+            pixel_full, start1, key, tile_rays=tile_rays,
         )
         if self.static.has_skin and self.conf.gi_sss_samples > 0:
             from . import sss as sssmod
@@ -1395,7 +1408,8 @@ def render(
             image = jnp.zeros((n_pix, vals.shape[1]), jnp.float32)
             wsum = jnp.zeros((n_pix,), jnp.float32)
         image, wsum = splatmod.splat_accum(
-            vals, cam_rays.pixel, cam_rays.sub_xy, start, image, wsum,
+            vals, cam_rays.pixel, cam_rays.sub_xy,
+            jnp.asarray([start], jnp.int32), image, wsum,
             xres, yres, float(opts.filter_width), tile_rays,
             alpha=splatmod.filter_alpha(),
         )

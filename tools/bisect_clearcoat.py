@@ -1,18 +1,14 @@
-"""Bisect the clearcoat-ON bench collapse (round-2 finding).
+"""Bisect harness for the clearcoat-ON bench collapse (RESOLVED).
 
-Measured on the real chip with reduced (3-scalar) outputs:
-  clearcoat-OFF step: 0.72 Gsamples/s   (~0.046 s/iter at 1080p x 8 spp)
-  clearcoat-ON  step: 0.103 Gsamples/s  (~0.32 s/iter) -- ~7x slower.
-(An earlier 18x reading via 200 MB raw-frame fetches was a measurement
-artifact; bench.py now times the reduced program too.)
-
-The GTR1 sampler itself is a handful of transcendentals (exp/log/sin/cos)
-over the same lane count, which back-of-envelope costs ~0.03 s/iter on the
-v5e VPU, so the slowdown is NOT arithmetic: suspect the mixture program's
-fusion/spill behavior (extra live 132M-lane values around the two-sampler
-`where` blend) or a scalarized pattern on this backend. NOTE the axon
-tunnel gotcha: np.asarray of a 132M-lane V3 moves ~1.6 GB, so time whole
-steps with small outputs, never raw sampler outputs.
+Root cause (see docs/perf.md "rank-0 params live in host memory"): the
+clearcoat-on program referenced 40 rank-0 jit parameters (Python-float
+material knobs), which XLA:TPU places in HOST memory (S(6)); each
+referencing fusion pays a host-memory DMA per execution on this backend.
+Broadcasting the params to (n,) lanes took the clearcoat-ON step from
+0.2807 to 0.0091 s/iter at 512x512x8spp — within 7% of clearcoat-off.
+bench.py now lane-broadcasts all params; this tool remains as the timing
+harness (reduced 3-scalar outputs keep the ~1.6 GB tunnel fetch of raw
+sampler outputs out of the measurement — never time raw V3 frame fetches).
 
 Run (each jit compiles ~2-5 min on the remote axon compiler):
     python tools/bisect_clearcoat.py
