@@ -733,7 +733,8 @@ class SSSIn(NamedTuple):
     cubic: jnp.ndarray  # standard-shader Ksss lanes use Arnold's cubic falloff
     pix: jnp.ndarray   # (N,) sampler addressing (SampleCtx of the tile)
     aa: jnp.ndarray    # (N,)
-    salt: jnp.ndarray  # ()
+    salt: jnp.ndarray  # (1,) — kept non-rank-0 across the jit boundary
+    #                    (S(6) host-memory placement, docs/perf.md)
 
 
 # ---------------------------------------------------------------------------

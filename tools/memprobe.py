@@ -41,8 +41,10 @@ o = np.zeros((n_rays, 3), np.float32)
 d = np.tile(np.array([0, 0, 1], np.float32), (n_rays, 1))
 
 jitted = wavefront._j_tile
+pixel = np.zeros((n_rays,), np.int32)
+start1 = np.zeros((1,), np.int32)  # (1,) — rank-0 params land in S(6)
 lowered = jitted.lower(
-    tr.sc, tr.static, tr.conf, o, d, 0, key, tile_rays=n_rays
+    tr.sc, tr.static, tr.conf, o, d, pixel, start1, key, tile_rays=n_rays
 )
 print(f"lowered; compiling tile={args.tile} aa={args.aa} n_rays={n_rays} ...",
       flush=True)
