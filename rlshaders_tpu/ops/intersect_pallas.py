@@ -780,6 +780,12 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
     perm = jnp.argsort(_ray_sort_key(packed, o, d))
     o, d = o[perm], d[perm]
     t_max, exclude_tri = t_max[perm], exclude_tri[perm]
+    # nothing can occlude past the scene-box exit: clamping t_max here makes
+    # the projection early-break and the t_hi frustum cull fire for t=inf
+    # hemisphere (sky) shadow rays — the frame's most expensive ray class
+    # (docs/perf.md) — and is semantically free for the blocked/unblocked
+    # answer (any real occluder lies before the box exit by definition)
+    t_max = jnp.minimum(t_max, _scene_exit_t(packed, o, d))
     rays, ex, r0, rp = _pad_rays(o, d, t_max, exclude_tri)
     n_blocks = rp // RAY_BLOCK
     c = packed.n_clusters
