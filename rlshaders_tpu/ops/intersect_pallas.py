@@ -53,6 +53,13 @@ import os as _os
 RAY_BLOCK = int(_os.environ.get("RLS_RAY_BLOCK", "128"))
 _STATS = _os.environ.get("RLS_TRACE_STATS", "0") == "1"
 TRI_BLOCK = int(_os.environ.get("RLS_TRI_BLOCK", "128"))
+# candidate clusters pair-tested per while_loop iteration: fatter iterations
+# amortize the ~us-scale loop-control latency that dominated the round-2
+# kernel (measured ~3us/iteration at ~0.7us of pair-test vector work)
+UNROLL = int(_os.environ.get("RLS_TRACE_UNROLL", "2"))
+# ray-blocks per dense-prepass chunk: bounds the (chunk*RAY_BLOCK, C) slab
+# intermediates (bust-scale scenes would otherwise materialize GBs)
+META_CHUNK = int(_os.environ.get("RLS_META_CHUNK", "128"))
 del _os
 BIG = 1e30
 INV_SQRT3 = 0.5773502691896258
@@ -73,48 +80,34 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-SUPER_GROUP = 8  # clusters per super-cluster (two-level culling)
-
-
 class PackedScene(NamedTuple):
     """Cluster-packed triangle SoA (device). Padded tris are degenerate.
 
-    Two-level culling structure: clusters of TRI_BLOCK triangles (leaf-order
-    contiguous) grouped into super-clusters of SUPER_GROUP clusters. The
-    nearest kernel walks SUPERS front-to-back (early-breakable) and only
-    descends into member clusters whose super box is hit — an 8x cut in
-    sequential slab steps for blocks that see mostly empty space."""
+    Triangles are grouped into clusters of TRI_BLOCK (leaf-order contiguous,
+    hence spatially coherent); `oct_projid[o, c]` is the minimum projection
+    of cluster c's AABB on octant o's unit diagonal — the front-to-back sort
+    key the dense prepass uses directly (pack-time table so trace time pays
+    a single (8, C) row gather, not a rank-table take_along_axis)."""
 
     comp: jnp.ndarray      # (C*TB, 9) f32: v0xyz, e1xyz, e2xyz columns
     vis: jnp.ndarray       # (C*TB, 1) int32 visibility bits (0 for padding)
     opaque: jnp.ndarray    # (C*TB, 1) int32 1/0
     orig: jnp.ndarray      # (C*TB, 1) int32 original triangle index (-1 pad)
-    cl_min: jnp.ndarray    # (S*G, 3) cluster AABBs, padded rows degenerate
-    cl_max: jnp.ndarray    # (S*G, 3)
-    oct_order: jnp.ndarray  # (8, Cp) int32 cluster ids, front-to-back/octant
-    oct_proj: jnp.ndarray   # (8, Cp) f32 min diagonal projection, ascending
-    oct_rank: jnp.ndarray   # (8, C) int32 rank of cluster c in octant order
-    sup_min: jnp.ndarray    # (S, 3) super-cluster AABBs
-    sup_max: jnp.ndarray    # (S, 3)
-    sup_order: jnp.ndarray  # (8, Sp) int32 super ids, front-to-back/octant
-    sup_proj: jnp.ndarray   # (8, Sp) f32 ascending min diagonal projections
-    sup_rank: jnp.ndarray   # (8, S) int32 rank of super s in octant order
+    cl_min: jnp.ndarray    # (C, 3) cluster AABBs, padded rows degenerate
+    cl_max: jnp.ndarray    # (C, 3)
+    oct_projid: jnp.ndarray  # (8, C) f32 min diagonal projection BY CLUSTER ID
     scene_lo: jnp.ndarray   # (3,) scene AABB (for ray-sort Morton keys)
     scene_hi: jnp.ndarray   # (3,)
 
     @property
     def n_clusters(self) -> int:
-        return self.oct_rank.shape[1]
-
-    @property
-    def n_supers(self) -> int:
-        return self.sup_min.shape[0]
+        return self.oct_projid.shape[1]
 
 
 def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     """Pack triangles (host) into clusters following `order` (spatially
-    coherent, e.g. the SAH BVH leaf order); precompute the 8 octant
-    traversal orders with their conservative diagonal projections."""
+    coherent, e.g. the SAH BVH leaf order); precompute each cluster's
+    conservative diagonal projection under all 8 direction octants."""
     v0 = np.asarray(v0, np.float32)[order]
     e1 = np.asarray(e1, np.float32)[order]
     e2 = np.asarray(e2, np.float32)[order]
@@ -139,79 +132,30 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     cl_min = big.min(axis=1)    # (C, 3)
     cl_max = small.max(axis=1)
 
-    # 8 octant traversal orders: ascending minimum projection of each cluster
-    # AABB on the octant's unit diagonal (the corner matching the signs)
-    cp = ((c + 127) // 128) * 128
-    oct_order = np.zeros((8, cp), np.int32)
-    oct_proj = np.full((8, cp), BIG, np.float32)
-    oct_rank = np.zeros((8, c), np.int32)
+    # per-octant minimum diagonal projection of every cluster AABB (the
+    # corner matching the octant signs); degenerate (all-padding) clusters
+    # project to BIG so they sort behind every candidate
     fcl_min = np.where(np.isfinite(cl_min), cl_min, 0.0)
     fcl_max = np.where(np.isfinite(cl_max), cl_max, 0.0)
     degenerate = cl_min[:, 0] > cl_max[:, 0]  # all-padding cluster
+    oct_projid = np.empty((8, c), np.float32)
     for o in range(8):
         s = _OCT_SIGNS[o]
         corner = np.where(s[None, :] > 0, fcl_min, fcl_max)
         proj = (corner * s[None, :]).sum(axis=1) * INV_SQRT3
-        proj = np.where(degenerate, BIG, proj)
-        perm = np.argsort(proj, kind="stable").astype(np.int32)
-        oct_order[o, :c] = perm
-        oct_proj[o, :c] = proj[perm]
-        oct_rank[o, perm] = np.arange(c, dtype=np.int32)
+        oct_projid[o] = np.where(degenerate, BIG, proj)
 
-    # super-clusters: groups of SUPER_GROUP consecutive (leaf-order, hence
-    # spatially coherent) clusters; cluster tables pad to S*G with
-    # degenerate boxes so the kernel's inner member loop needs no edge case
-    g = SUPER_GROUP
-    s_count = (c + g - 1) // g
-    cpad = s_count * g - c
-    cl_min_p = np.concatenate(
-        [cl_min, np.full((cpad, 3), BIG, np.float32)], axis=0
-    )
-    cl_max_p = np.concatenate(
-        [cl_max, np.full((cpad, 3), -BIG, np.float32)], axis=0
-    )
-    sup_min = cl_min_p.reshape(s_count, g, 3).min(axis=1)
-    sup_max = cl_max_p.reshape(s_count, g, 3).max(axis=1)
-    sup_degen = sup_min[:, 0] > sup_max[:, 0]
-    fs_min = np.where(np.isfinite(sup_min), sup_min, 0.0)
-    fs_max = np.where(np.isfinite(sup_max), sup_max, 0.0)
-    sp = ((s_count + 127) // 128) * 128
-    sup_order = np.zeros((8, sp), np.int32)
-    sup_proj = np.full((8, sp), BIG, np.float32)
-    sup_rank = np.zeros((8, s_count), np.int32)
-    for o in range(8):
-        s = _OCT_SIGNS[o]
-        corner = np.where(s[None, :] > 0, fs_min, fs_max)
-        proj = (corner * s[None, :]).sum(axis=1) * INV_SQRT3
-        proj = np.where(sup_degen, BIG, proj)
-        perm = np.argsort(proj, kind="stable").astype(np.int32)
-        sup_order[o, :s_count] = perm
-        sup_proj[o, :s_count] = proj[perm]
-        sup_rank[o, perm] = np.arange(s_count, dtype=np.int32)
-
-    # triangle arrays pad to the SUPER grid (S*G clusters) so the nearest
-    # kernel's unrolled member loop indexes in-bounds even for the (never
-    # runtime-taken) padded-cluster branches
-    tri_total = s_count * g * TRI_BLOCK
-    tpad = tri_total - comp.shape[0]
     return PackedScene(
-        comp=jnp.asarray(np.pad(comp, ((0, tpad), (0, 0)))),
-        vis=jnp.asarray(np.pad(vis, (0, pad + tpad))[:, None]),
-        opaque=jnp.asarray(np.pad(opq, (0, pad + tpad))[:, None]),
+        comp=jnp.asarray(comp),
+        vis=jnp.asarray(np.pad(vis, (0, pad))[:, None]),
+        opaque=jnp.asarray(np.pad(opq, (0, pad))[:, None]),
         orig=jnp.asarray(
-            np.pad(np.asarray(order, np.int64), (0, pad + tpad),
+            np.pad(np.asarray(order, np.int64), (0, pad),
                    constant_values=-1).astype(np.int32)[:, None]
         ),
-        cl_min=jnp.asarray(cl_min_p),
-        cl_max=jnp.asarray(cl_max_p),
-        oct_order=jnp.asarray(oct_order),
-        oct_proj=jnp.asarray(oct_proj),
-        oct_rank=jnp.asarray(oct_rank),
-        sup_min=jnp.asarray(sup_min.astype(np.float32)),
-        sup_max=jnp.asarray(sup_max.astype(np.float32)),
-        sup_order=jnp.asarray(sup_order),
-        sup_proj=jnp.asarray(sup_proj),
-        sup_rank=jnp.asarray(sup_rank),
+        cl_min=jnp.asarray(cl_min),
+        cl_max=jnp.asarray(cl_max),
+        oct_projid=jnp.asarray(oct_projid),
         scene_lo=jnp.asarray(
             np.where(degenerate[:, None], np.inf, fcl_min).min(axis=0)
             .astype(np.float32)
@@ -250,25 +194,6 @@ def _pairs_mt(ox, oy, oz, dx, dy, dz, c):
     return det, t, u, v
 
 
-def _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz):
-    """Cluster AABB slab test; bounds are SMEM scalars, rays (1, R)."""
-    tx0 = (clmin_ref[ci, 0] - ox) * ix
-    tx1 = (clmax_ref[ci, 0] - ox) * ix
-    ty0 = (clmin_ref[ci, 1] - oy) * iy
-    ty1 = (clmax_ref[ci, 1] - oy) * iy
-    tz0 = (clmin_ref[ci, 2] - oz) * iz
-    tz1 = (clmax_ref[ci, 2] - oz) * iz
-    tn = jnp.maximum(
-        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-        jnp.minimum(tz0, tz1),
-    )
-    tf = jnp.minimum(
-        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-        jnp.maximum(tz0, tz1),
-    )
-    return tn, tf
-
-
 def _inv(d):
     # near-zero components use a large sign-independent constant; the old
     # sign(d)*BIG+BIG form evaluated to 0 for tiny NEGATIVE components and
@@ -277,12 +202,10 @@ def _inv(d):
     return jnp.where(jnp.abs(d) > 1e-12, 1.0 / safe, BIG)
 
 
-def _block_meta(packed: "PackedScene", rays, n_boxes: int,
-                box_min=None, box_max=None, rank_table=None,
-                proj_table=None):
+def _block_meta(packed: "PackedScene", rays, n_boxes: int):
     """Per-ray-block traversal metadata AND compacted candidate lists
     (dense XLA):
-      meta[:, 0] = candidate count: number of boxes the block's frustum can
+      meta[:, 0] = candidate count: number of boxes ANY RAY in the block can
                    touch (0 for miss-all)
       meta[:, 1] = dominant direction octant id
       meta[:, 2] = 1.0 when every ray in the block shares that octant
@@ -290,49 +213,58 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
       meta[:, 3] = max diagonal projection of the ray origins.
     Also returns `cand` (nb, Cp) int32 — the surviving box ids in
     front-to-back octant order — and `cproj` (nb, Cp) f32, their minimum
-    diagonal projections. The kernels walk ONLY these candidates: a skipped
-    (empty-space) cluster costs nothing at all instead of one ~us-scale
-    while_loop iteration + slab test; measured the single biggest nearest-
-    kernel win on coherent camera blocks (walk length drops from the max
-    surviving RANK to the survivor COUNT).
+    diagonal projections. The kernels walk ONLY these candidates with
+    UNCONDITIONAL pair tests: culling is EXACT per-ray slab vs cluster here
+    (full-width VPU work on fat 2-D arrays), so the kernel loop carries no
+    slab test, no cross-lane any(), and no lax.cond — the round-2 kernel
+    spent ~3us/iteration on exactly that control latency while the pair
+    test itself is ~0.7us of vector work. Block-interval frustum culling
+    (the round-2 prepass) survived ~3.5x more clusters than per-ray-exact
+    on coherent camera blocks and nearly everything on incoherent blocks.
     meta is (nb, 128) f32 so it rides an (8, 128) SMEM tile; cand/cproj ride
     (8, Cp) SMEM tiles per 8-block grid group."""
     nb = rays.shape[0]
     o = rays[:, 0:3, :]   # (nb, 3, R)
     d = rays[:, 3:6, :]
-    o_lo = o.min(axis=2)  # (nb, 3)
-    o_hi = o.max(axis=2)
     d_lo = d.min(axis=2)
     d_hi = d.max(axis=2)
-    # longest segment in the block: boxes entered past it can't occlude any
-    # lane (shadow rays stop at the light; padding lanes carry t_max 0).
-    # RLS_THI_CULL=0 ablates (read at import: process-level knob).
-    t_hi = rays[:, 6, :].max(axis=1)  # (nb,)
+    o_lo = o.min(axis=2)
+    o_hi = o.max(axis=2)
 
-    cmin = (box_min if box_min is not None
-            else packed.cl_min[:n_boxes])  # (C, 3)
-    cmax = box_max if box_max is not None else packed.cl_max[:n_boxes]
+    cmin = packed.cl_min[:n_boxes]  # (C, 3)
+    cmax = packed.cl_max[:n_boxes]
 
-    tn = jnp.full((nb, n_boxes), -BIG)
-    tf = jnp.full((nb, n_boxes), BIG)
-    for a in range(3):
-        dl = d_lo[:, None, a]
-        dh = d_hi[:, None, a]
-        spans0 = (dl <= 0.0) & (dh >= 0.0)
-        tp_lo = (cmin[None, :, a] - o_hi[:, None, a]) / jnp.maximum(dh, 1e-12)
-        tp_hi = (cmax[None, :, a] - o_lo[:, None, a]) / jnp.maximum(dl, 1e-12)
-        tn_lo = (cmax[None, :, a] - o_lo[:, None, a]) / jnp.minimum(dl, -1e-12)
-        tn_hi = (cmin[None, :, a] - o_hi[:, None, a]) / jnp.minimum(dh, -1e-12)
-        neg = dh < 0.0
-        lo = jnp.where(neg, tn_lo, tp_lo)
-        hi = jnp.where(neg, tn_hi, tp_hi)
-        lo = jnp.where(spans0, -BIG, lo)
-        hi = jnp.where(spans0, BIG, hi)
-        tn = jnp.maximum(tn, lo)
-        tf = jnp.minimum(tf, hi)
-    survive = tf >= jnp.maximum(tn, 0.0)  # (nb, C)
-    if __import__("os").environ.get("RLS_THI_CULL", "1") == "1":
-        survive = survive & (tn <= t_hi[:, None])
+    def chunk_survive(rchunk):
+        # exact per-ray slab vs every cluster, OR-reduced over the block's
+        # rays; (G, R, C) intermediates stay fused into the reduce
+        oc = rchunk[:, 0:3, :]            # (G, 3, R)
+        dc = rchunk[:, 3:6, :]
+        tmx = rchunk[:, 6, :]             # (G, R)
+        inv = _inv(dc)
+        tn = None
+        tf = None
+        for a in range(3):
+            t0 = (cmin[None, None, :, a] - oc[:, a, :, None]) * inv[:, a, :, None]
+            t1 = (cmax[None, None, :, a] - oc[:, a, :, None]) * inv[:, a, :, None]
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            tn = lo if tn is None else jnp.maximum(tn, lo)
+            tf = hi if tf is None else jnp.minimum(tf, hi)
+        ok = (
+            (tf >= jnp.maximum(tn, 0.0))
+            & (tn <= tmx[:, :, None])
+            & (tmx[:, :, None] > 0.0)   # padding lanes carry t_max 0
+        )
+        return jnp.any(ok, axis=1)        # (G, C)
+
+    if nb <= META_CHUNK:
+        survive = chunk_survive(rays)
+    else:
+        gpad = (-nb) % META_CHUNK
+        rpad = jnp.pad(rays, ((0, gpad), (0, 0), (0, 0)))
+        groups = rpad.reshape(-1, META_CHUNK, 7, RAY_BLOCK)
+        survive = jax.lax.map(chunk_survive, groups).reshape(
+            -1, n_boxes)[:nb]
 
     # dominant octant from the direction sums; purity from the sign boxes
     d_sum = d.sum(axis=2)  # (nb, 3)
@@ -342,19 +274,18 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
         (d_lo > 0.0) == (bits > 0), axis=1
     )
 
-    rt = rank_table if rank_table is not None else packed.oct_rank
-    pt = proj_table if proj_table is not None else packed.oct_proj
-    ranks = rt[oct_id]  # (nb, C)
-
     # compact the survivors into per-block front-to-back candidate lists:
-    # sort box ids by (rank if surviving else C) so survivors lead in walk
-    # order and the count is the loop bound
-    key = jnp.where(survive, ranks, jnp.int32(n_boxes))
-    cand = jnp.argsort(key, axis=1).astype(jnp.int32)      # (nb, C)
-    count = jnp.sum(survive, axis=1).astype(jnp.int32)     # (nb,)
-    projc = jnp.take_along_axis(pt[oct_id], ranks, axis=1)  # (nb, C)
-    cproj = jnp.take_along_axis(projc, cand, axis=1)
-    cp = pt.shape[1]
+    # sort directly on the f32 diagonal projection (pack-time per-id table,
+    # one (8, C) row gather) with non-survivors pushed to BIG — 2 operands
+    # and cproj IS the sorted key. The earlier rank-keyed 3-operand form
+    # paid an extra take_along_axis + rank gather + a third sort operand.
+    projc = packed.oct_projid[oct_id]                       # (nb, C) row gather
+    keyf = jnp.where(survive, projc, BIG)
+    ids = jnp.broadcast_to(
+        jnp.arange(n_boxes, dtype=jnp.int32)[None, :], keyf.shape)
+    cproj, cand = jax.lax.sort((keyf, ids), dimension=1, num_keys=1)
+    count = jnp.sum(survive, axis=1).astype(jnp.int32)      # (nb,)
+    cp = ((n_boxes + 127) // 128) * 128
     cand = jnp.pad(cand, ((0, 0), (0, cp - n_boxes)))
     cproj = jnp.pad(cproj, ((0, 0), (0, cp - n_boxes)), constant_values=BIG)
 
@@ -373,8 +304,6 @@ def _block_meta(packed: "PackedScene", rays, n_boxes: int,
 
 def _nearest_kernel(
     vismask_ref,  # (1, 1) SMEM int32
-    clmin_ref,    # (S*G, 3) SMEM cluster AABBs (padded rows degenerate)
-    clmax_ref,    # (S*G, 3) SMEM
     cand_ref,     # (8, Cp) SMEM int32 per-block candidate lists (front-to-back)
     cproj_ref,    # (8, Cp) SMEM f32 candidate min diagonal projections
     meta_ref,     # (8, 128) SMEM f32 per-block meta (row = program_id % 8)
@@ -391,15 +320,16 @@ def _nearest_kernel(
     n_clusters: int,
     t_eps: float,
 ):
-    """Ordered walk over the block's PRECOMPACTED candidate clusters,
-    front-to-back along its octant diagonal with an early break on the
-    slowest lane's best t. The dense XLA prepass (_block_meta) already
-    frustum-culled the cluster set, so empty-space clusters never cost a
-    loop iteration here. (A two-level super-cluster variant was measured
-    SLOWER end-to-end on v5e: incoherent GI blocks nearly always hit the
-    fat super boxes and then pay an 8-wide unrolled member descend; the
-    tables remain in PackedScene for future use.) The scene-exit t clamp in
-    _intersect keeps miss lanes from poisoning the break."""
+    """Branch-free ordered walk over the block's PRECOMPACTED candidates,
+    front-to-back along the octant diagonal with an early break on the
+    slowest lane's best t. Culling happened in the dense prepass (exact
+    per-ray slabs, _block_meta): every iteration here runs UNROLL
+    unconditional (TB, R) pair tests — no in-kernel slab, no any(), no
+    lax.cond; that control latency was the round-2 kernel's dominant cost
+    (~3us/iter vs ~0.7us of pair-test work). Walking past the candidate
+    count (UNROLL padding) re-tests valid clusters — idempotent for both
+    queries. The scene-exit t clamp in _intersect keeps miss lanes from
+    poisoning the break."""
     ox = rays_ref[0, 0:1, :]
     oy = rays_ref[0, 1:2, :]
     oz = rays_ref[0, 2:3, :]
@@ -409,18 +339,16 @@ def _nearest_kernel(
     tmax = rays_ref[0, 6:7, :]
     exclude = ex_ref[0, 0:1, :]
     vism = vismask_ref[0, 0]
-    ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
     row = pl.program_id(0) % 8
     bound = meta_ref[row, 0].astype(jnp.int32)
-    oct_id = meta_ref[row, 1].astype(jnp.int32)
     pure = meta_ref[row, 2] > 0.5
     proj_o = meta_ref[row, 3]
 
     cap = cproj_ref.shape[1] - 1
 
     def cond(state):
-        li, pc, t_best, tri_best, u_best, v_best, t_worst = state
+        li, t_best, tri_best, u_best, v_best, t_worst = state
         # front-to-back: a pure-octant block stops at the first candidate
         # whose min diagonal projection lies beyond the slowest ray's best
         # hit (projection along the unit diagonal is a lower bound on ray t)
@@ -460,21 +388,16 @@ def _nearest_kernel(
         )
 
     def cluster_step(state):
-        li, pc, t_best, tri_best, u_best, v_best, t_worst = state
-        ci = cand_ref[row, li]
-        tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
-        any_hit = jnp.any((tf >= jnp.maximum(tn, 0.0)) & (tn < t_best))
-        pc = pc + any_hit.astype(jnp.int32)
-        t_best, tri_best, u_best, v_best = jax.lax.cond(
-            any_hit, lambda s: pair_test(ci, s), lambda s: s,
-            (t_best, tri_best, u_best, v_best),
-        )
-        t_worst = jnp.max(t_best)
-        return li + 1, pc, t_best, tri_best, u_best, v_best, t_worst
+        li, t_best, tri_best, u_best, v_best, t_worst = state
+        s4 = (t_best, tri_best, u_best, v_best)
+        for k in range(UNROLL):
+            ci = cand_ref[row, jnp.minimum(li + k, cap)]
+            s4 = pair_test(ci, s4)
+        t_best, tri_best, u_best, v_best = s4
+        return li + UNROLL, t_best, tri_best, u_best, v_best, jnp.max(t_best)
 
     t0 = jnp.minimum(tmax, BIG)
     init = (
-        jnp.int32(0),
         jnp.int32(0),
         t0,
         jnp.full((1, RAY_BLOCK), -1, jnp.int32),
@@ -482,19 +405,19 @@ def _nearest_kernel(
         jnp.zeros((1, RAY_BLOCK), jnp.float32),
         jnp.max(t0),
     )
-    li_end, pc_end, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
+    li_end, t_best, tri_best, u_best, v_best, _ = jax.lax.while_loop(
         cond, cluster_step, init
     )
     t_out[0] = t_best
     tri_out[0] = tri_best
     if _STATS:
-        # debug instrumentation: u carries the outer iteration count, v the
-        # pair-test count (RLS_TRACE_STATS=1; hit u/v are sacrificed)
+        # debug instrumentation: u carries the pair-test count, v the
+        # candidate bound (RLS_TRACE_STATS=1; hit u/v are sacrificed)
         u_out[0] = jnp.broadcast_to(
             li_end.astype(jnp.float32), (1, RAY_BLOCK)
         )
         v_out[0] = jnp.broadcast_to(
-            pc_end.astype(jnp.float32), (1, RAY_BLOCK)
+            bound.astype(jnp.float32), (1, RAY_BLOCK)
         )
     else:
         u_out[0] = u_best
@@ -502,7 +425,7 @@ def _nearest_kernel(
 
 
 def _occluded_kernel(
-    vismask_ref, clmin_ref, clmax_ref, cand_ref, cproj_ref, meta_ref,
+    vismask_ref, cand_ref, cproj_ref, meta_ref,
     rays_ref, ex_ref, comp_ref, vis_ref, orig_ref, opq_ref, blocked_out, *,
     n_clusters: int, t_eps: float,
 ):
@@ -515,11 +438,9 @@ def _occluded_kernel(
     tmax = rays_ref[0, 6:7, :]
     exclude = ex_ref[0, 0:1, :]
     vism = vismask_ref[0, 0]
-    ix, iy, iz = _inv(dx), _inv(dy), _inv(dz)
 
     row = pl.program_id(0) % 8
     bound = meta_ref[row, 0].astype(jnp.int32)
-    oct_id = meta_ref[row, 1].astype(jnp.int32)
     pure = meta_ref[row, 2] > 0.5
     proj_o = meta_ref[row, 3]
     t_stop = jnp.max(tmax)
@@ -535,31 +456,28 @@ def _occluded_kernel(
         )
         return jnp.logical_and(more, not_past)
 
+    def test(ci, blocked):
+        sl = pl.ds(ci * TRI_BLOCK, TRI_BLOCK)
+        c = comp_ref[sl, :]
+        det, t, u, v = _pairs_mt(ox, oy, oz, dx, dy, dz, c)
+        ok = (
+            (jnp.abs(det) > 1e-12)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > t_eps) & (t < tmax)
+            & ((vis_ref[sl, :] & vism) != 0)
+            & (opq_ref[sl, :] != 0)
+            & (orig_ref[sl, :] != exclude)
+        )
+        return blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+
     def cluster_step(state):
         li, blocked, all_blocked = state
-        ci = cand_ref[row, li]
-        tn, tf = _slab(clmin_ref, clmax_ref, ci, ox, oy, oz, ix, iy, iz)
-        box_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < tmax) & (blocked == 0)
-        any_hit = jnp.any(box_hit)
-
-        def test(blocked):
-            sl = pl.ds(ci * TRI_BLOCK, TRI_BLOCK)
-            c = comp_ref[sl, :]
-            det, t, u, v = _pairs_mt(ox, oy, oz, dx, dy, dz, c)
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > t_eps) & (t < tmax)
-                & ((vis_ref[sl, :] & vism) != 0)
-                & (opq_ref[sl, :] != 0)
-                & (orig_ref[sl, :] != exclude)
-            )
-            return blocked | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
-
-        blocked = jax.lax.cond(any_hit, test, lambda b: b, blocked)
+        for k in range(UNROLL):
+            ci = cand_ref[row, jnp.minimum(li + k, cap)]
+            blocked = test(ci, blocked)
         # rays with no remaining segment count as done for the all-check
         done = (blocked != 0) | (tmax <= t_eps)
-        return li + 1, blocked, jnp.all(done)
+        return li + UNROLL, blocked, jnp.all(done)
 
     init = (jnp.int32(0), jnp.zeros((1, RAY_BLOCK), jnp.int32),
             jnp.asarray(False))
@@ -694,8 +612,6 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
@@ -720,8 +636,6 @@ def _intersect(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         interpret=_interpret(),
     )(
         jnp.full((1, 1), vis_mask, jnp.int32),
-        packed.cl_min,
-        packed.cl_max,
         cand,
         cproj,
         meta,
@@ -798,8 +712,6 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, cp), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0), memory_space=pltpu.SMEM),
@@ -817,8 +729,6 @@ def _occluded(packed, o, d, t_max, exclude_tri, vis_mask, t_eps):
         interpret=_interpret(),
     )(
         jnp.full((1, 1), vis_mask, jnp.int32),
-        packed.cl_min,
-        packed.cl_max,
         cand,
         cproj,
         meta,

@@ -1,4 +1,4 @@
-"""Opt-in golden-image regression tests (`pytest -m golden`).
+"""Golden-image regression canaries for ALL 10 reference cases (default-on).
 
 Exercises the FULL parse -> build -> BVH -> trace -> shade -> compare path
 against the reference's own checked-in goldens (testsuite/mtoa/*/ref/ref.exr,
@@ -6,9 +6,12 @@ the same images runtest.py gates on, reference runtest.py:220-244) at
 reduced resolution/sampling so a CPU run stays tractable. The thresholds are
 regression canaries (structural-change detectors), far looser than the
 full-res RMS < 0.005 fidelity gate the CLI harness applies on TPU — at 48x48
-with 1 AA sample the Monte-Carlo noise floor alone dominates.
+with 2 AA samples the Monte-Carlo noise floor alone dominates.
 
-Excluded from the default run: `pytest -m golden tests/test_golden.py`.
+Runtime note: cost is compile-dominated (one compile per scene-shape group:
+shared scene / aniso / skin bust); warm persistent-cache runs are minutes,
+cold ones ~10. Deselect with `-m "not golden"` for quick iteration loops —
+the full default run is the pre-commit / driver gate.
 """
 import os
 
@@ -18,15 +21,23 @@ import pytest
 SUITE = "/root/reference/testsuite"
 
 # (case, scene file, rmse bound at 48x48 aa2 vs box-downsampled golden).
-# Bounds calibrated from measured rmse (~0.10-0.12 at these settings, MC
-# noise dominated; 0001 re-measured at 0.165 after the storage-space
-# texture filtering + Sobol sampler landed — full-res masked RMSE improved
-# 0.044 -> 0.038, the tiny-render stat just shifted) with ~50% headroom:
-# a structural regression (lost light, wrong lobe, broken texture path)
-# lands well above these.
+# Bounds = measured rmse (tools/canary_calib.py, post round-2 fidelity
+# passes: 0001 0.163, 0002 0.179, 0003 0.101, 0004 0.143, 0005 0.147,
+# 0006 0.159, 0007 0.141, 0008 0.173, 0009 0.042, 0010 0.050) with
+# ~40-60% headroom: a structural regression (lost light, wrong lobe,
+# broken texture path, dead SSS stage) lands well above these, while
+# seed-level MC jitter at 48x48 stays well below.
 CASES = [
     ("0001", "ggx_teflon.ass", 0.24),
-    ("0004", "disney.ass", 0.16),
+    ("0002", "ggx_gold.ass", 0.26),
+    ("0003", "ggx_anisotropic.ass", 0.16),
+    ("0004", "disney.ass", 0.20),
+    ("0005", "disney_subsurface.ass", 0.21),
+    ("0006", "disney_metallic.ass", 0.23),
+    ("0007", "disney_specular.ass", 0.20),
+    ("0008", "disney_anisotropic.ass", 0.25),
+    ("0009", "skin_probe_sampling.ass", 0.07),
+    ("0010", "skin_diffusion.ass", 0.08),
 ]
 
 pytestmark = pytest.mark.golden
