@@ -198,15 +198,18 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 sys.path.insert(0, %r)
 import jax
 from rlshaders_tpu.parallel import mesh as pmesh
+# 128x128 aa2 (65536 rays): big enough that trace/shade dominates the
+# serial pieces (camera gen, unpack, fetch) the 64x64-aa1 curve measured.
+# skin=False: the SSS stage's compile cost x4 mesh sizes would eat the
+# subprocess budget; SSS-under-shard_map is covered by dryrun_multichip.
 out = {}
 for n in (1, 2, 4, 8):
     mesh = pmesh.make_mesh(n)
-    scene, accel = pmesh.demo_scene()
-    r = pmesh.render_sharded(scene, accel, mesh, tile_pixels=512,
-                             aa_samples=1, xres=64, yres=64)  # warm
+    scene, accel = pmesh.demo_scene(skin=False)
+    kw = dict(tile_pixels=2048, aa_samples=2, xres=128, yres=128)
+    r = pmesh.render_sharded(scene, accel, mesh, **kw)  # warm
     t0 = time.perf_counter()
-    r = pmesh.render_sharded(scene, accel, mesh, tile_pixels=512,
-                             aa_samples=1, xres=64, yres=64)
+    r = pmesh.render_sharded(scene, accel, mesh, **kw)
     out[str(n)] = time.perf_counter() - t0
 print(json.dumps(out))
 """ % os.path.dirname(os.path.abspath(__file__))
@@ -214,7 +217,7 @@ print(json.dumps(out))
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=1200, env=env)
+                           text=True, timeout=2400, env=env)
         times = json.loads(p.stdout.strip().splitlines()[-1])
         t1 = times["1"]
         return {k: round(t1 / v, 3) for k, v in times.items()}

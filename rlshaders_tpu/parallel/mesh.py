@@ -268,6 +268,7 @@ options
  GI_glossy_depth 1
  GI_diffuse_samples 1
  GI_glossy_samples 1
+ GI_sss_samples 2
  GI_total_depth 4
  camera "cam"
 }
@@ -325,6 +326,17 @@ standard
  Kd 0.8
  Kd_color 0.6 0.6 0.6
 }
+rlSkin
+{
+ name mat_skin
+ sss_color 0.9 0.6 0.5
+ sss_weight 1.0
+ sss_scatter_dist 0.3 0.2 0.15
+ specular_weight 0.4
+ specular_roughness 0.4
+ sheen_weight 0.2
+ sheen_roughness 0.35
+}
 polymesh
 {
  name cube
@@ -335,6 +347,22 @@ polymesh
  vlist 8 1 POINT
 -0.5 0 -0.5 0.5 0 -0.5 -0.5 1 -0.5 0.5 1 -0.5 -0.5 0 0.5 0.5 0 0.5 -0.5 1 0.5 0.5 1 0.5
  shader "mat_ggx"
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 0 0 1
+}
+polymesh
+{
+ name blob
+ nsides 6 1 UINT
+4 4 4 4 4 4
+ vidxs 24 1 UINT
+0 1 3 2 4 6 7 5 0 4 5 1 2 3 7 6 0 2 6 4 1 5 7 3
+ vlist 8 1 POINT
+0.9 0 -0.3 1.5 0 -0.3 0.9 0.6 -0.3 1.5 0.6 -0.3 0.9 0 0.3 1.5 0 0.3 0.9 0.6 0.3 1.5 0.6 0.3
+ shader "mat_skin"
  matrix
  1 0 0 0
  0 1 0 0
@@ -363,19 +391,26 @@ polymesh
 """
 
 
-def demo_scene():
-    """Build a small self-contained scene (cube + floor + quad light + sky)
-    for dryruns and multi-device tests; returns (scene, accel)."""
+def demo_scene(skin: bool = True):
+    """Build a small self-contained scene (cube + skin blob + floor + quad
+    light + sky) for dryruns and multi-device tests; returns (scene, accel).
+
+    skin=True keeps the rlSkin blob so the SSS probe stage (integrator/sss)
+    runs under shard_map; skin=False swaps the blob to the floor material for
+    scaling sweeps where the SSS compile cost would dominate the budget."""
     import os
     import tempfile
 
     from ..accel import trace as tracemod
     from ..scene import build as buildmod
 
+    src = DEMO_SCENE_ASS
+    if not skin:
+        src = src.replace('shader "mat_skin"', 'shader "mat_floor"')
     fd, path = tempfile.mkstemp(suffix=".ass")
     try:
         with os.fdopen(fd, "w") as f:
-            f.write(DEMO_SCENE_ASS)
+            f.write(src)
         scene = buildmod.build(path)
     finally:
         os.unlink(path)

@@ -71,6 +71,9 @@ def prep(o, d, t_max, exclude):
     return rays, ex, meta, cand, cproj
 
 
+# Every bench fn returns ONE f32 scalar: the tunnel charges ~33 ms latency
+# PER FETCHED OUTPUT, so multi-output returns inflated the earlier numbers
+# (prep with 5 outputs measured ~112 ms of pure fetch latency).
 @jax.jit
 def j_sort(o, d):
     perm = jnp.argsort(ip._ray_sort_key(packed, o, d))
@@ -122,13 +125,14 @@ def j_compact(survive_f, oct_id):
     keyf = jnp.where(survive, projc, ip.BIG)
     ids = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :], keyf.shape)
     cproj, cand = jax.lax.sort((keyf, ids), dimension=1, num_keys=1)
-    return cand.sum(), cproj.sum()
+    return cand.sum().astype(jnp.float32) + cproj.sum()
 
 
 @jax.jit
 def j_prep(o, d, t_max, exclude):
     rays, ex, meta, cand, cproj = prep(o, d, t_max, exclude)
-    return (rays.sum(), ex.sum(), meta.sum(), cand.sum(), cproj.sum())
+    return (rays.sum() + ex.sum().astype(jnp.float32) + meta.sum()
+            + cand.sum().astype(jnp.float32) + cproj.sum())
 
 
 def run_pallas(rays, ex, meta, cand, cproj):
@@ -171,33 +175,38 @@ def run_pallas(rays, ex, meta, cand, cproj):
 @jax.jit
 def j_walk(rays, ex, meta, cand, cproj):
     t, tri, u, v = run_pallas(rays, ex, meta, cand, cproj)
-    return t.sum(), tri.sum()
+    return t.sum() + tri.sum().astype(jnp.float32)
 
 
 @jax.jit
 def j_full(o, d, t_max, exclude):
     t, tri, u, v = ip._intersect(packed, o, d, t_max, exclude,
                                  vis_mask=0xFF, t_eps=1e-4)
-    return t.sum(), tri.sum(), u.sum(), v.sum()
+    return (t.sum() + tri.sum().astype(jnp.float32) + u.sum() + v.sum())
 
 
 @jax.jit
 def j_full_occ(o, d, t_max, exclude):
     b = ip._occluded(packed, o, d, t_max, exclude, vis_mask=0xFF, t_eps=1e-4)
-    return b.sum()
+    return b.sum().astype(jnp.float32)
 
 
-def bench(tag, fn, reps=3):
+def bench(tag, fn, reps=8):
     out = fn()
     jax.tree_util.tree_map(np.asarray, out)
-    t0 = time.perf_counter()
+    best = 1e30
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn()
         jax.tree_util.tree_map(np.asarray, out)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"{tag:28s} {dt*1e3:8.1f} ms   ({n/dt/1e6:.2f} Mrays/s)", flush=True)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{tag:28s} {best*1e3:8.1f} ms   ({n/best/1e6:.2f} Mrays/s)",
+          flush=True)
 
 
+print(f"knobs: RAY_BLOCK={ip.RAY_BLOCK} TRI_BLOCK={ip.TRI_BLOCK} "
+      f"UNROLL={ip.UNROLL} META_CHUNK={ip.META_CHUNK} clusters={c}",
+      flush=True)
 bench("null (latency floor)", partial(j_null, o))
 for tag, oo, dd in (("coh", o, d), ("inc", o2, d2)):
     rays_, ex_, meta, cand, cproj = jax.tree_util.tree_map(
