@@ -94,13 +94,29 @@ def cmd_render(args):
             print(f"[rls] wrote {base}.{name}{ext}")
 
 
+def _expand_serial_no(spec: str):
+    """Expand a case spec into 4-digit case ids. Supports the reference
+    harness's serial-range syntax (runtest.py expand_serial_no, :30-43):
+    comma-separated items, each a number or an inclusive `a..b` range —
+    e.g. "1..3,9" -> 0001 0002 0003 0009."""
+    out = []
+    for item in spec.split(","):
+        item = item.strip()
+        if ".." in item:
+            a, b = item.split("..")
+            out.extend(f"{n:04d}" for n in range(int(a), int(b) + 1))
+        else:
+            out.append(f"{int(item):04d}")
+    return out
+
+
 def cmd_test(args):
     from .integrator import wavefront
     from .io import exr
 
     suite = args.suite
     cases = (
-        [f"{int(c):04d}" for c in args.cases.split(",")]
+        _expand_serial_no(args.cases)
         if args.cases
         else sorted(os.listdir(os.path.join(suite, "mtoa")))
     )
@@ -123,7 +139,19 @@ def cmd_test(args):
         try:
             t0 = time.time()
             scene, tree = _build(scene_path)
-            out = wavefront.render(scene, tree, aa_samples=args.aa, tile_pixels=args.tile)
+            if args.passes > 1:
+                # converged-scoring mode: accumulate independently-seeded
+                # passes so the measured RMSE is bias, not MC variance (the
+                # goldens' own deviation from truth is <~0.004 — docs/
+                # fidelity.md "golden noise floor"); our seed-to-seed noise
+                # at reference settings is ~0.024, so the 0.005 gate needs
+                # AA 12-24-equivalent budgets = passes 16-64 at AA 3
+                out = wavefront.render_progressive(
+                    scene, tree, passes=args.passes, aa_samples=args.aa,
+                    tile_pixels=args.tile, verbose=False)
+            else:
+                out = wavefront.render(
+                    scene, tree, aa_samples=args.aa, tile_pixels=args.tile)
             out.pop("__stats__", None)
             dt = time.time() - t0
             ref = exr.read_rgb(ref_path)
@@ -284,8 +312,11 @@ def main(argv=None):
 
     t = sub.add_parser("test", help="run the golden-image testsuite")
     t.add_argument("--suite", default="/root/reference/testsuite")
-    t.add_argument("--cases", default=None, help="comma-separated case numbers")
+    t.add_argument("--cases", default=None,
+                   help="case numbers: comma list and/or a..b ranges (1..5,9)")
     t.add_argument("--aa", type=int, default=None)
+    t.add_argument("--passes", type=int, default=1,
+                   help=">1 = converged scoring: average N seeded passes")
     t.add_argument("--tile", type=int, default=8192)
     t.add_argument("--threshold", type=float, default=0.005)
     t.add_argument("--save", action="store_true")
