@@ -12,6 +12,10 @@ Also measured and reported in the same JSON line under "extra":
   * render_mrays_s          — end-to-end wavefront render of testsuite case
                               0004 (trace+shade+occlude+splat) in Mrays/s
   * render_seconds          — wall time of that render (256x256, AA 3)
+  * refract512_mrays_s/_seconds — BASELINE config #2: the rough-refraction
+                              glass-sphere scene (scenes/glass_sphere.ass)
+                              at 512x512, exercising the full transmission
+                              path (TIR + Kt transparent shadows)
   * scaling                 — measured throughput ratios on a virtual CPU
                               mesh (1 vs 2 vs 4 vs 8 devices) for the
                               sharded render pipeline; shape-of-curve only
@@ -169,13 +173,40 @@ def bench_render():
     print(json.dumps({"mrays": total / dt / 1e6, "seconds": dt}))
 
 
-def bench_render_subprocess():
-    """Run bench_render in a child with a hard timeout so a pathological
-    compile can never prevent the headline JSON line from being printed."""
-    budget = int(os.environ.get("RLS_BENCH_RENDER_TIMEOUT", "1500"))
+def bench_refract():
+    """BASELINE.json config #2: rough-refraction glass sphere with MIS,
+    512x512 — the end-to-end rlGgx transmission path (Walter Eq.41 weights,
+    TIR, Kt transparent shadows; reference rlGgx.h:205-246). Same fetch
+    rules as bench_render."""
+    scene_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scenes",
+        "glass_sphere.ass")
+    if not os.path.exists(scene_path):
+        print(json.dumps({"mrays": None, "seconds": None}))
+        return
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.integrator import wavefront
+    from rlshaders_tpu.scene import build as buildmod
+
+    scene = buildmod.build(scene_path)
+    accel = tracemod.build(scene.geometry)
+    kw = dict(tile_pixels=8192, xres=512, yres=512)
+    np.asarray(wavefront.render(scene, accel, **kw)["RGBA"])  # compile
+    t0 = time.perf_counter()
+    out = wavefront.render(scene, accel, **kw)
+    np.asarray(out["RGBA"])
+    dt = time.perf_counter() - t0
+    stats = out.get("__stats__", {})
+    total = stats.get("nearest_rays", 0) + stats.get("shadow_rays", 0)
+    print(json.dumps({"mrays": total / dt / 1e6, "seconds": dt}))
+
+
+def _bench_subprocess(flag: str, budget: int):
+    """Run a --<flag> child with a hard timeout so a pathological compile
+    can never prevent the headline JSON line from being printed."""
     try:
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--render-bench"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=budget,
             env=dict(os.environ),
         )
@@ -183,6 +214,12 @@ def bench_render_subprocess():
         return got["mrays"], got["seconds"]
     except Exception:
         return None, None
+
+
+def bench_render_subprocess():
+    return _bench_subprocess(
+        "--render-bench", int(os.environ.get("RLS_BENCH_RENDER_TIMEOUT",
+                                             "1500")))
 
 
 def bench_scaling():
@@ -232,6 +269,12 @@ def main():
         mrays, seconds = bench_render_subprocess()
     else:
         mrays, seconds = None, None
+    if os.environ.get("RLS_BENCH_REFRACT", "1") == "1":
+        refr_mrays, refr_seconds = _bench_subprocess(
+            "--refract-bench",
+            int(os.environ.get("RLS_BENCH_REFRACT_TIMEOUT", "2100")))
+    else:
+        refr_mrays, refr_seconds = None, None
     scaling = None
     if os.environ.get("RLS_BENCH_SCALING", "1") == "1":
         scaling = bench_scaling()
@@ -250,6 +293,12 @@ def main():
                                        if mrays is not None else None),
                     "render_seconds": (round(seconds, 2)
                                        if seconds is not None else None),
+                    "refract512_mrays_s": (round(refr_mrays, 3)
+                                           if refr_mrays is not None
+                                           else None),
+                    "refract512_seconds": (round(refr_seconds, 2)
+                                           if refr_seconds is not None
+                                           else None),
                     "scaling_vs_1dev": scaling,
                     "note": ("vs_baseline is the single-chip share of the "
                              "v5e-8 target; scaling is a CPU-mesh "
@@ -263,5 +312,7 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--render-bench":
         bench_render()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--refract-bench":
+        bench_refract()
     else:
         main()

@@ -19,6 +19,7 @@ traversal format.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -201,6 +202,7 @@ def _tri_test(v0, e1, e2, o, d, t_eps, t_best):
     return ok, t, u, v
 
 
+@partial(jax.jit, static_argnames=("t_eps", "vis_mask", "max_iters"))
 def intersect(
     bvh: BVH,
     v0: jnp.ndarray,
@@ -221,6 +223,12 @@ def intersect(
     the role of sg->fi in the reference, rlSss.h:210-211).
     vis_mask / tri_visibility: Arnold-style ray-visibility gating — a
     triangle is hit only if (tri_visibility & vis_mask) != 0.
+
+    jit-wrapped (not just for speed): an EAGER top-level lax.while_loop is
+    dispatched via apply_primitive and its standalone `jit_while` executable
+    segfaults jax 0.9's persistent-cache deserialization on CPU; the same
+    loop round-trips fine inside a pjit program (reproduced twice on fresh
+    caches — see test_refraction_closure_vs_brute's history).
     """
     r = o.shape[0]
     n_nodes = bvh.bbox_min.shape[0]
@@ -293,6 +301,7 @@ def intersect(
     return Hit(t=t_best, tri=tri, u=uu, v=vv)
 
 
+@partial(jax.jit, static_argnames=("t_eps", "vis_mask"))
 def occluded(
     bvh: BVH,
     v0: jnp.ndarray,
@@ -308,7 +317,8 @@ def occluded(
     tri_opaque: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Any-hit (shadow) query: True where the segment [t_eps, t_max] is
-    blocked by an opaque, shadow-visible triangle."""
+    blocked by an opaque, shadow-visible triangle. jit-wrapped for the same
+    persistent-cache reason as `intersect`."""
     r = o.shape[0]
     n_nodes = bvh.bbox_min.shape[0]
     # near-zero components: use a LARGE constant (sign-independent) so the

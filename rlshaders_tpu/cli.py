@@ -146,9 +146,16 @@ def cmd_test(args):
                 # fidelity.md "golden noise floor"); our seed-to-seed noise
                 # at reference settings is ~0.024, so the 0.005 gate needs
                 # AA 12-24-equivalent budgets = passes 16-64 at AA 3
+                # verbose per-pass timing (pass 1 carries the compiles) and
+                # a running-average flush so a killed run still leaves the
+                # partial accumulation on disk
+                flush = None
+                if args.save:
+                    os.makedirs("out", exist_ok=True)
+                    flush = os.path.join("out", f"conv_{case}.exr")
                 out = wavefront.render_progressive(
                     scene, tree, passes=args.passes, aa_samples=args.aa,
-                    tile_pixels=args.tile, verbose=False)
+                    tile_pixels=args.tile, verbose=True, flush_path=flush)
             else:
                 out = wavefront.render(
                     scene, tree, aa_samples=args.aa, tile_pixels=args.tile)

@@ -1341,9 +1341,11 @@ def render_progressive(
 
     acc = None
     for p in range(passes):
+        t0 = time.perf_counter()
         out = render(scene, accel, seed=seed + p * 7919,
                      tile_pixels=tile_pixels, aa_samples=aa_samples,
                      xres=xres, yres=yres)
+        dt = time.perf_counter() - t0
         stats = out.pop("__stats__", {})
         if acc is None:
             acc = {k: v.astype(np.float64) for k, v in out.items()}
@@ -1353,7 +1355,9 @@ def render_progressive(
         if flush_path is not None:
             exrmod.write_rgb(flush_path, (acc["RGBA"] / (p + 1)).astype(np.float32))
         if verbose:
-            print(f"[rls] pass {p + 1}/{passes} done")
+            # pass 1 includes jit compiles; later passes are steady-state,
+            # so the per-pass split is the compile/runtime decomposition.
+            print(f"[rls] pass {p + 1}/{passes} done in {dt:.1f}s", flush=True)
     result = {k: (v / passes).astype(np.float32) for k, v in acc.items()}
     result["__stats__"] = stats
     return result
