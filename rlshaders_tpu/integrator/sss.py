@@ -396,10 +396,18 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
         contrib = irr / jnp.maximum(pdf, 1e-9)[..., None]
         accum = accum + jnp.where(shade_ok[..., None], contrib, 0.0)
 
-        # march the probe past this hit
+        # march the probe past this hit. Reference semantics (rlSss.h:
+        # 298-314): a hit on a FOREIGN object `continue`s WITHOUT re-arming
+        # the ray, so AiTraceProbe returns the same hit until the trial
+        # budget dies — i.e. the probe TERMINATES at the first foreign hit.
+        # Only same-object hits march the segment forward. (Measured on
+        # 0009: skipping past foreign hits over-gathers the lower plane by
+        # +0.02 — the probes' disk origins sit up to rmax above the surface,
+        # in front of the upper plane.)
+        foreign = seg_ok & ~same_mesh
         step = jnp.where(seg_ok, hit.t + 2 * RAY_EPS, remaining)
         origin = origin + d_probe * step[..., None]
-        remaining = remaining - step
+        remaining = jnp.where(foreign, 0.0, remaining - step)
         exclude = jnp.where(seg_ok, hit.tri, -1)
         return origin, remaining, exclude, accum
 

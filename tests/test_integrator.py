@@ -251,6 +251,57 @@ def test_sss_quad_light_energy(tmp_path):
     assert abs(val - expected) / expected < 0.12, (val, expected)
 
 
+SCENE_SSS_FOREIGN_BLOCKER = SCENE_SSS_FURNACE_SKIN.replace(
+    "MayaShadingEngine",
+    """polymesh
+{
+ name blocker
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-50 0 50 50 0 50 -50 0 -50 50 0 -50
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 -0.5 0 1
+ shader "sg"
+ visibility 4
+ opaque on
+}
+MayaShadingEngine""",
+    1,
+)
+
+
+def test_sss_probe_terminates_at_foreign_hit(tmp_path):
+    """Reference probe-march semantics (rlSss.h:298-314): a probe hit on a
+    FOREIGN object `continue`s WITHOUT re-arming the ray, so AiTraceProbe
+    returns the same hit until the trial budget dies — the probe terminates
+    at its first foreign hit instead of gathering same-object hits behind
+    it. Scene: the skin furnace plane (y=-1, scatter dist 0.3, rmax 0.9)
+    with a foreign plane 0.5 above it (visibility 4: probe-visible but
+    camera- and shadow-invisible, so illumination is untouched). N-axis
+    probe origins sit sqrt(rmax^2-r^2) above the surface — above the
+    blocker for every disc radius r < 0.748, which holds ~92% of the
+    truncated-Burley mass — so the plane's SSS must collapse to the r >
+    0.748 tail (~8% of the unblocked furnace value), not stay at the
+    unblocked 0.3*0.7117 a skip-and-march-past estimator returns.
+    Measured on golden 0009 (two stacked rlSkin planes): marching past
+    foreign hits over-gathers the lower plane by +0.02 signed error."""
+    scene, out = _render(SCENE_SSS_FOREIGN_BLOCKER, str(tmp_path))
+    img = out["RGBA"]
+    val = img[6:10, 6:10].mean()
+    unblocked = 0.3 * 0.7117
+    assert val < 0.3 * unblocked, (val, unblocked)
+    assert val > 0.01 * unblocked, (val, unblocked)
+
+
 def test_quad_light_inverse_square(tmp_path):
     """Far small quad light ~ point source: E = L*A*cos^2/d^2 at the point
     under the light (cos=1), reflected by a white Lambert floor."""
@@ -547,3 +598,301 @@ def test_bsdf_pickup_uses_shadow_visibility(tmp_path):
     a = out0["RGBA"][5:11, 5:11].mean()
     b = out1["RGBA"][5:11, 5:11].mean()
     assert abs(b / a - 1.0) < 0.03, (a, b, b / a)
+
+
+SCENE_GLASS_SLAB = """
+options
+{
+ AA_samples 4
+ xres 16
+ yres 16
+ GI_diffuse_depth 0
+ GI_glossy_depth 0
+ GI_refraction_depth 6
+ GI_total_depth 12
+ GI_diffuse_samples 1
+ GI_glossy_samples 1
+ GI_refraction_samples 2
+ camera "cam"
+}
+persp_camera
+{
+ name cam
+ fov 40
+ matrix
+ 1 0 0 0
+ 0 0 -1 0
+ 0 1 0 0
+ 0 3 0 1
+}
+skydome_light
+{
+ name sky
+ color 1 1 1
+ intensity 0.3
+ samples 1
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 0 0 1
+}
+polymesh
+{
+ name slab_top
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-50 0 50 50 0 50 -50 0 -50 50 0 -50
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 1.2 0 1
+ shader "glass_sg"
+ visibility 255
+ opaque off
+}
+polymesh
+{
+ name slab_bottom
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-50 0 -50 50 0 -50 -50 0 50 50 0 50
+ nlist 4 1 VECTOR
+0 -1 0 0 -1 0 0 -1 0 0 -1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 0.8 0 1
+ shader "glass_sg"
+ visibility 255
+ opaque off
+}
+polymesh
+{
+ name floor
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-50 0 50 50 0 50 -50 0 -50 50 0 -50
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 -1 0 1
+ shader "sg"
+ visibility 255
+ opaque on
+}
+MayaShadingEngine
+{
+ name glass_sg
+ beauty glass_mat
+}
+rlGgx
+{
+ name glass_mat
+ KdColor 1 1 1
+ Kd 0
+ KsColor 1 1 1
+ Ks 0
+ KtColor 1 1 1
+ Kt 1
+ ior 1.5
+ specularRoughness 0.35
+ anisotropic 0
+}
+MayaShadingEngine
+{
+ name sg
+ beauty mat
+}
+standard
+{
+ name mat
+ Kd 0.8
+ Kd_color 1 1 1
+ diffuse_roughness 0
+ Ks 0
+}
+"""
+
+
+def test_refraction_closure_vs_brute(tmp_path):
+    """End-to-end rough refraction (integrateRefract semantics incl. TIR,
+    rlGgx.h:205-246, 260-263): camera rays cross a rough glass slab (two
+    dielectric interfaces) onto a Lambert floor lit by a uniform dome.
+    The wavefront frame mean must match an independent brute-force path
+    tracer of the same scene that reuses only the unit-tested BSDF
+    sampling (ggx.sample_refract) — the INTEGRATOR wiring (camera-level
+    refraction families, per-bounce re-entry, depth gates, sky pickup on
+    refracted rays, Kt-transparent shadow march) is what's under test."""
+    import jax
+    import jax.numpy as jnp
+
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.bsdf import ggx
+    from rlshaders_tpu.core import frame as framemod
+    from rlshaders_tpu.core import vec3
+    from rlshaders_tpu.integrator import camera as cammod
+
+    scene, out = _render(SCENE_GLASS_SLAB, str(tmp_path))
+    wf = float(np.asarray(out["RGBA"]).mean())
+
+    accel = tracemod.build(scene.geometry)
+    g = scene.geometry
+    sky = float(np.asarray(scene.sky.radiance)[0])
+    alb = 0.8
+    rough = 0.35
+    ior = 1.5
+    # glass_mat's row in the material table (floor is MAT_STANDARD)
+    kt = np.asarray(scene.materials.kt)
+    glass_mid = int(np.argmax(kt))
+    mat_of_tri = np.asarray(g.mat_id)
+    rngn = np.random.default_rng(11)
+    EPS = 1e-3
+
+    def near(o, d):
+        h = tracemod.nearest(accel, g, jnp.asarray(o, jnp.float32),
+                             jnp.asarray(d, jnp.float32), vis_mask=0xFF)
+        return (np.asarray(h.t), np.asarray(h.tri),
+                np.asarray(h.u), np.asarray(h.v))
+
+    def normals(tri, u, v):
+        tc = np.maximum(tri, 0)
+        w = 1.0 - u - v
+        ns = (w[:, None] * np.asarray(g.n0)[tc]
+              + u[:, None] * np.asarray(g.n1)[tc]
+              + v[:, None] * np.asarray(g.n2)[tc])
+        return ns / np.maximum(
+            np.linalg.norm(ns, axis=1, keepdims=True), 1e-12)
+
+    def geo_normals(tri):
+        tc = np.maximum(tri, 0)
+        ng = np.cross(np.asarray(g.e1)[tc], np.asarray(g.e2)[tc])
+        return ng / np.maximum(
+            np.linalg.norm(ng, axis=1, keepdims=True), 1e-12)
+
+    def refract_batch(d, ns, entering, rx, ry):
+        """One VNDF refraction sample per lane via the repo's BSDF math
+        (frame around the faceforwarded normal, IOR swap on exit)."""
+        nf = np.where(entering[:, None], ns, -ns)
+        fr = framemod.build_frame_polar(jnp.asarray(nf, jnp.float32))
+        wo = framemod.to_local(fr, jnp.asarray(-d, jnp.float32))
+        params = ggx.make_params(
+            jnp.ones((d.shape[0], 3), jnp.float32),
+            jnp.full((d.shape[0],), rough, jnp.float32),
+            jnp.full((d.shape[0],), ior, jnp.float32),
+            0.0,
+            jnp.asarray(entering),
+        )
+        wi, w, _tir = ggx.sample_refract(
+            params, wo, jnp.asarray(rx, jnp.float32),
+            jnp.asarray(ry, jnp.float32))
+        wi_w = framemod.to_world(fr, wi if not isinstance(wi, vec3.V3)
+                                 else wi.aos())
+        return np.asarray(wi_w), np.asarray(w)
+
+    N = 16 * 16
+    total = np.zeros(N)
+    R = 96
+    for r in range(R):
+        rays = cammod.generate(scene.camera, jax.random.PRNGKey(7000 + r),
+                               1, xres=16, yres=16)
+        pos = np.asarray(rays.origin)
+        d = np.asarray(rays.direction)
+        wgt = np.ones(N)
+        alive = np.ones(N, bool)
+        contrib = np.zeros(N)
+        for _depth in range(8):
+            if not alive.any():
+                break
+            t, tri, u, v = near(pos, d)
+            miss = tri < 0
+            # escaped rays pick up the dome
+            contrib[alive & miss] += (wgt * sky)[alive & miss]
+            hit = alive & ~miss
+            if not hit.any():
+                break
+            p_ = pos + d * t[:, None]
+            is_glass = hit & (mat_of_tri[np.maximum(tri, 0)] == glass_mid)
+            is_floor = hit & ~is_glass
+            if is_floor.any():
+                # Lambert floor, direct-only (GI_diffuse_depth 0): NEE to
+                # the uniform dome with a cosine sample; the slab above is
+                # shadow-transparent (Kt=1, KtColor=1 -> out_opacity 0)
+                ns = normals(tri, u, v)
+                idx = np.where(is_floor)[0]
+                nsf = ns[idx]
+                u1 = rngn.random(len(idx))
+                u2 = rngn.random(len(idx))
+                a = np.where(np.abs(nsf[:, 2:3]) < 0.9,
+                             np.array([[0.0, 0.0, 1.0]]),
+                             np.array([[1.0, 0.0, 0.0]]))
+                tb = np.cross(a, nsf)
+                tb /= np.maximum(
+                    np.linalg.norm(tb, axis=1, keepdims=True), 1e-12)
+                bb = np.cross(nsf, tb)
+                rr = np.sqrt(u1)
+                ph = 2 * np.pi * u2
+                wl = np.stack([rr * np.cos(ph), rr * np.sin(ph),
+                               np.sqrt(np.maximum(1 - u1, 0.0))], 1)
+                wi = wl[:, 0:1] * tb + wl[:, 1:2] * bb + wl[:, 2:3] * nsf
+                o2 = p_[idx] + wi * EPS
+                _, tris, _, _ = near(o2, wi)
+                # any hit must be the (transparent) slab or beyond: only
+                # opaque geometry blocks; re-trace past glass hits
+                blocked = np.zeros(len(idx), bool)
+                oo, dd = o2, wi
+                for _s in range(4):
+                    ts, trs, _, _ = near(oo, dd)
+                    live = trs >= 0
+                    if not live.any():
+                        break
+                    opq = np.asarray(g.opaque)[np.maximum(trs, 0)] & live
+                    blocked |= opq
+                    cont = live & ~opq
+                    if not cont.any():
+                        break
+                    oo = np.where(cont[:, None],
+                                  oo + dd * (ts[:, None] + EPS), oo)
+                contrib[idx] += wgt[idx] * alb * sky * (~blocked)
+                alive[idx] = False
+            if is_glass.any():
+                ns = normals(tri, u, v)
+                ngs = geo_normals(tri)
+                idx = np.where(is_glass)[0]
+                entering = (ngs[idx] * d[idx]).sum(1) < 0.0
+                wi, w = refract_batch(
+                    d[idx], ns[idx], entering,
+                    rngn.random(len(idx)), rngn.random(len(idx)))
+                wgt[idx] *= w
+                newpos = p_[idx] + wi * EPS
+                pos = pos.copy(); dsave = d.copy()
+                pos[idx] = newpos
+                dsave[idx] = wi
+                d = dsave
+                dead = wgt < 1e-6
+                alive[idx] &= ~dead[idx]
+            # lanes that hit neither (shouldn't happen) die
+            alive &= ~miss
+        total += contrib
+    brute = float(total.mean() / R)
+    ratio = wf / brute
+    assert 0.97 < ratio < 1.03, (wf, brute, ratio)
