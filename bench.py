@@ -84,35 +84,41 @@ def make_scene_batch(clearcoat: float):
 
 def step(params, wo, key, cc: bool):
     """SPP spec samples + SPP diffuse samples, full eval + pdf + MIS blend.
-    Flat sample-major layout (rlshaders_tpu.core.vec3): chunk s covers rows
-    [s*N, (s+1)*N)."""
-    from rlshaders_tpu.core import vec3
+
+    lax.scan over the SPP axis with (n,)-wide bodies: the earlier flat
+    (SPP*n,) sample-major layout tiled every param field SPP-fold (~1.3 GB
+    of broadcast reads per iter at 1080p) and kept both mixture samplers'
+    full-width chains live at once — the clearcoat-ON program became
+    working-set bound (0.186 Gs/s at 1080p vs 0.46 effective at 512x512
+    with identical math). The scan keeps one sample's intermediates live at
+    a time; per-sample arithmetic is unchanged."""
+    from rlshaders_tpu.core.vec3 import V3
 
     n = wo.x.shape[0]
-    u = jax.random.uniform(key, (SPP * n, 4), dtype=jnp.float32)
-    pb = jax.tree_util.tree_map(
-        lambda a: jnp.tile(a, SPP) if getattr(a, "ndim", 0) == 1 else a,
-        params,
-    )
-    wo_b = vec3.tile(wo, SPP)
+    u = jax.random.uniform(key, (SPP, n, 4), dtype=jnp.float32)
 
-    wi_s = disney.sample_specular(pb, wo_b, u[:, 0], u[:, 1], cc)
-    f_s = disney.eval_specular_cos(pb, wo_b, wi_s, cc)
-    p_s = disney.pdf_specular(pb, wo_b, wi_s, cc)
-    p_sd = disney.pdf_diffuse(pb, wo_b, wi_s)
-    w_s = p_s / jnp.maximum(p_s + p_sd, 1e-9)
+    def body(acc, u_s):
+        wi_s = disney.sample_specular(params, wo, u_s[:, 0], u_s[:, 1], cc)
+        f_s = disney.eval_specular_cos(params, wo, wi_s, cc)
+        p_s = disney.pdf_specular(params, wo, wi_s, cc)
+        p_sd = disney.pdf_diffuse(params, wo, wi_s)
+        w_s = p_s / jnp.maximum(p_s + p_sd, 1e-9)
 
-    wi_d = disney.sample_diffuse(pb, wo_b, u[:, 2], u[:, 3])
-    f_d = disney.eval_diffuse_cos(pb, wo_b, wi_d)
-    p_d = disney.pdf_diffuse(pb, wo_b, wi_d)
-    p_ds = disney.pdf_specular(pb, wo_b, wi_d, cc)
-    w_d = p_d / jnp.maximum(p_d + p_ds, 1e-9)
+        wi_d = disney.sample_diffuse(params, wo, u_s[:, 2], u_s[:, 3])
+        f_d = disney.eval_diffuse_cos(params, wo, wi_d)
+        p_d = disney.pdf_diffuse(params, wo, wi_d)
+        p_ds = disney.pdf_specular(params, wo, wi_d, cc)
+        w_d = p_d / jnp.maximum(p_d + p_ds, 1e-9)
 
-    est = (
-        f_s * (w_s / jnp.maximum(p_s, 1e-9))
-        + f_d * (w_d / jnp.maximum(p_d, 1e-9))
-    )
-    return vec3.kmean(est, SPP)
+        est = (
+            f_s * (w_s / jnp.maximum(p_s, 1e-9))
+            + f_d * (w_d / jnp.maximum(p_d, 1e-9))
+        )
+        return acc + est, None
+
+    zero = jnp.zeros((n,), jnp.float32)
+    acc, _ = jax.lax.scan(body, V3(zero, zero, zero), u)
+    return acc * (1.0 / SPP)
 
 
 def bench_bsdf(clearcoat: float) -> float:
