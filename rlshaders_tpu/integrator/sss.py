@@ -79,13 +79,21 @@ def _probe_rays(profile, frame, p, u1, u2):
     return p + off, dirs, maxdist, r
 
 
-def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
-    """Direct Lambert irradiance-reflectance at probe hits: one area sample
-    per light MIS-combined with one cosine-hemisphere sample (the two
+def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None,
+                    cam_budget=False):
+    """Direct Lambert irradiance-reflectance at probe hits: per-light area
+    samples MIS-combined with one cosine-hemisphere sample (the two
     strategies AiEvaluateLightSample runs for the reference's OrenNayar(0)
     light loop, rlSss.h:439-454 — pure area sampling explodes when a large
     light nearly touches the surface, e.g. testsuite case 0010).
     Returns (N, 3).
+
+    cam_budget=True draws each light's full camera-level budget
+    (samples^2 area samples per light, like the reference's camera-context
+    light loop at probe hits) instead of 1 — a pure variance reduction for
+    the converged skin renders; MIS nl tracks the per-light count. Per-light
+    affect_diffuse * diffuse-weight factors (LightGrid.w_d semantics) apply
+    to every strategy.
 
     sq = (pix, sidx, salt, purpose_base) switches the draws to the
     per-pixel Owen-Sobol streams (core/rng.py): lane i's draw for slot s of
@@ -111,42 +119,69 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
             n, k, 1, 2
         )
 
+    def _counts(lsel, samples):
+        return [max(samples[i], 1) ** 2 if cam_budget else 1 for i in lsel]
+
     dirs, dists, rads, pdfs = [], [], [], []
+    col_w, col_nl = [], []  # per-column 1/S_li estimator weight, MIS count
     ql = sc.quad_lights
+    quad_nl = {}
     if sum(static.quad_valid):
-        lsel = [i for i, v in enumerate(static.quad_valid) if v]
-        u = draw(11, len(lsel))
-        idx = jnp.asarray(lsel)
-        ls = lightsmod.sample_quads_batched(
-            ql.verts[idx], ql.normal[idx], ql.area[idx], ql.radiance[idx],
-            surf_p, u,
-        )
-        k = len(lsel)
-        dirs.append(ls.direction.reshape(n, k, 3))
-        dists.append(ls.dist.reshape(n, k))
-        rads.append(ls.radiance.reshape(n, k, 3))
-        pdfs.append(ls.pdf.reshape(n, k))
+        lsel = [i for i, v in enumerate(static.quad_valid) if v
+                and static.quad_w_d[i] != 0.0]
+        ns = _counts(lsel, static.quad_samples)
+        quad_nl = dict(zip(lsel, ns))
+        if lsel:
+            idx_rep = [li for li, s in zip(lsel, ns) for _ in range(s)]
+            u = draw(11, len(idx_rep))
+            idx = jnp.asarray(idx_rep)
+            fac = jnp.asarray(
+                [static.quad_w_d[li] for li in idx_rep], jnp.float32)
+            ls = lightsmod.sample_quads_batched(
+                ql.verts[idx], ql.normal[idx], ql.area[idx],
+                ql.radiance[idx] * fac[:, None], surf_p, u,
+            )
+            k = len(idx_rep)
+            dirs.append(ls.direction.reshape(n, k, 3))
+            dists.append(ls.dist.reshape(n, k))
+            rads.append(ls.radiance.reshape(n, k, 3))
+            pdfs.append(ls.pdf.reshape(n, k))
+            col_w += [1.0 / s for li, s in zip(lsel, ns) for _ in range(s)]
+            col_nl += [float(s) for li, s in zip(lsel, ns) for _ in range(s)]
     dl = sc.disk_lights
+    disk_nl = {}
     if sum(static.disk_valid):
-        lsel = [i for i, v in enumerate(static.disk_valid) if v]
-        u = draw(12, len(lsel))
-        idx = jnp.asarray(lsel)
-        ls = lightsmod.sample_disks_batched(
-            dl.center[idx], dl.u[idx], dl.v[idx], dl.normal[idx], dl.area[idx],
-            dl.radiance[idx], surf_p, u,
-        )
-        k = len(lsel)
-        dirs.append(ls.direction.reshape(n, k, 3))
-        dists.append(ls.dist.reshape(n, k))
-        rads.append(ls.radiance.reshape(n, k, 3))
-        pdfs.append(ls.pdf.reshape(n, k))
-    if static.sky_exists:
+        lsel = [i for i, v in enumerate(static.disk_valid) if v
+                and static.disk_w_d[i] != 0.0]
+        ns = _counts(lsel, static.disk_samples)
+        disk_nl = dict(zip(lsel, ns))
+        if lsel:
+            idx_rep = [li for li, s in zip(lsel, ns) for _ in range(s)]
+            u = draw(12, len(idx_rep))
+            idx = jnp.asarray(idx_rep)
+            fac = jnp.asarray(
+                [static.disk_w_d[li] for li in idx_rep], jnp.float32)
+            ls = lightsmod.sample_disks_batched(
+                dl.center[idx], dl.u[idx], dl.v[idx], dl.normal[idx],
+                dl.area[idx], dl.radiance[idx] * fac[:, None], surf_p, u,
+            )
+            k = len(idx_rep)
+            dirs.append(ls.direction.reshape(n, k, 3))
+            dists.append(ls.dist.reshape(n, k))
+            rads.append(ls.radiance.reshape(n, k, 3))
+            pdfs.append(ls.pdf.reshape(n, k))
+            col_w += [1.0 / s for li, s in zip(lsel, ns) for _ in range(s)]
+            col_nl += [float(s) for li, s in zip(lsel, ns) for _ in range(s)]
+    if static.sky_exists and static.sky_w_d != 0.0:
         u = draw(13, 1)
-        ls = lightsmod.sample_sky_batched(sc.sky_radiance, surf_n, u)
+        ls = lightsmod.sample_sky_batched(
+            sc.sky_radiance * static.sky_w_d, surf_n, u)
         dirs.append(ls.direction.reshape(n, 1, 3))
         dists.append(ls.dist.reshape(n, 1))
         rads.append(ls.radiance.reshape(n, 1, 3))
         pdfs.append(ls.pdf.reshape(n, 1))
+        col_w.append(1.0)
+        col_nl.append(1.0)
     if not dirs:
         return out
 
@@ -155,11 +190,14 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
     rad = jnp.concatenate(rads, axis=1)
     pdf_l = jnp.concatenate(pdfs, axis=1)
     k = wi.shape[1]
+    col_w_a = jnp.asarray(col_w, jnp.float32)[None, :]
+    col_nl_a = jnp.asarray(col_nl, jnp.float32)[None, :]
 
     cos_i = jnp.maximum(jnp.sum(wi * surf_n[:, None, :], -1), 0.0)
     f_cos = cos_i / jnp.pi
     p_cos = cos_i / jnp.pi  # cosine-strategy pdf at the light directions
-    w_l = pdf_l / jnp.maximum(pdf_l + p_cos, 1e-12)
+    w_l = (col_nl_a * pdf_l) / jnp.maximum(
+        col_nl_a * pdf_l + p_cos, 1e-12) * col_w_a
 
     p_flat = jnp.broadcast_to(surf_p[:, None, :], (n, k, 3)).reshape(-1, 3)
     ex_flat = jnp.broadcast_to(exclude_tri[:, None], (n, k)).reshape(-1)
@@ -184,25 +222,31 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
     emit = jnp.zeros((n, 3))
     hit_t = jnp.full((n,), 1e30)
     for li in range(len(static.quad_valid)):
-        if not static.quad_valid[li]:
+        if not static.quad_valid[li] or static.quad_w_d[li] == 0.0:
             continue
         hq, tq = lightsmod.intersect_quad(ql.verts[li], ql.normal[li], surf_p, bdir)
         pl_q = lightsmod.pdf_quad(ql.verts[li], ql.normal[li], ql.area[li],
                                   surf_p, bdir, tq)
-        w_b = p_b / jnp.maximum(p_b + pl_q, 1e-12)
+        nl = float(quad_nl.get(li, 1))
+        w_b = p_b / jnp.maximum(p_b + nl * pl_q, 1e-12)
         take = hq & (tq < hit_t)
-        emit = jnp.where(take[..., None], ql.radiance[li] * w_b[..., None], emit)
+        emit = jnp.where(
+            take[..., None],
+            ql.radiance[li] * (static.quad_w_d[li] * w_b)[..., None], emit)
         hit_t = jnp.where(take, tq, hit_t)
     for li in range(len(static.disk_valid)):
-        if not static.disk_valid[li]:
+        if not static.disk_valid[li] or static.disk_w_d[li] == 0.0:
             continue
         hq, tq = lightsmod.intersect_disk(dl.center[li], dl.u[li], dl.v[li],
                                           dl.normal[li], surf_p, bdir)
         cos_ld = jnp.abs(jnp.sum(-bdir * dl.normal[li], -1))
         pl_q = (tq * tq) / jnp.maximum(cos_ld * dl.area[li], 1e-12)
-        w_b = p_b / jnp.maximum(p_b + pl_q, 1e-12)
+        nl = float(disk_nl.get(li, 1))
+        w_b = p_b / jnp.maximum(p_b + nl * pl_q, 1e-12)
         take = hq & (tq < hit_t)
-        emit = jnp.where(take[..., None], dl.radiance[li] * w_b[..., None], emit)
+        emit = jnp.where(
+            take[..., None],
+            dl.radiance[li] * (static.disk_w_d[li] * w_b)[..., None], emit)
         hit_t = jnp.where(take, tq, hit_t)
 
     any_emit = hit_t < 1e30
@@ -215,23 +259,24 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None):
     # f/p_b for a cosine sample of Lambert is exactly 1/pi * cos / (cos/pi) = 1
     out = out + jnp.where((any_emit & ~b_shadow)[..., None], emit, 0.0)
     # skydome seen by the cosine sample (no scene hit)
-    if static.sky_exists:
+    if static.sky_exists and static.sky_w_d != 0.0:
         sky_vis = ~tracemod.occluded(
             sc.accel, sc.geometry,
             surf_p + bdir * RAY_EPS, bdir, jnp.full((n,), 1e12),
             vis_mask=VIS_SHADOW, exclude_tri=exclude_tri,
         ) & ~any_emit
         # MIS vs the sky's cosine sampler (identical pdfs -> weight 1/2)
-        out = out + jnp.where(sky_vis[..., None], sc.sky_radiance * 0.5, 0.0)
+        out = out + jnp.where(
+            sky_vis[..., None], sc.sky_radiance * (0.5 * static.sky_w_d), 0.0)
     return out
 
 
 @partial(jax.jit, static_argnames=("static", "n_sss", "gi_diffuse", "k_probe",
-                                   "use_sobol"))
+                                   "use_sobol", "cam_budget"))
 def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
            sss_color, sss_weight, cavity_flag, cubic_flag, key, pix=None,
            aa=None, salt=None, *, n_sss, gi_diffuse, k_probe,
-           use_sobol=False):
+           use_sobol=False, cam_budget=False):
     """The fused probe-march SSS program (all K_PROBE traces inside)."""
     if salt is not None and getattr(salt, "ndim", 0) == 1:
         # salt arrives as (1,) — rank-0 jit params land in host memory S(6)
@@ -329,10 +374,12 @@ def _j_sss(sc, static, surf_p, surf_ns, surf_mesh, is_sss, sss_dist,
             return (pix_f, sidx_f, salt,
                     jnp.uint32(base) + jnp.asarray(k_step, jnp.uint32))
 
-        # direct Lambert at the probe hit
+        # direct Lambert at the probe hit (camera-level light budget when
+        # the stage runs at camera hits; the bounce below stays 1-sample)
         direct = _lambert_direct(
             sc, static, hp, hn, jnp.where(shade_ok, hit.tri, -1),
             rng.fold(key, 100 + k_step), sq=sq_of(100),
+            cam_budget=cam_budget,
         )
 
         # one cosine-sampled indirect diffuse bounce (rlSss.h:456-483)
@@ -479,7 +526,7 @@ def sss_stage(tr, sss_in, key, n_sss=None, k_probe=K_PROBE):
             tr.sc, tr.static, p, ns_, mesh, mask, dist, color, weight, cav,
             cubic, key, pix, aa, sss_in.salt, n_sss=s,
             gi_diffuse=int(opts.gi_diffuse_depth), k_probe=k_probe,
-            use_sobol=tr.conf.use_sobol,
+            use_sobol=tr.conf.use_sobol, cam_budget=True,
         )
 
     full = (sss_in.p, sss_in.ns, sss_in.mesh_id, is_sss, sss_in.sss_dist,
