@@ -27,11 +27,26 @@ def build(geometry) -> Accel:
     v0 = np.asarray(geometry.v0)
     e1 = np.asarray(geometry.e1)
     e2 = np.asarray(geometry.e2)
-    tree = bvhmod.build(v0, e1, e2)
+    vis = np.asarray(geometry.visibility)
+    # strip the geometry tables' inert bucket-padding tail (scene/build.py
+    # pads per-tri tables to power-of-two shapes): the builders must not see
+    # the padded rows — clustered at the origin they would poison the SAH
+    # split quality and the cluster AABB culling. A row is padding iff it is
+    # invisible AND edge-degenerate, which also never contributes if a real
+    # scene somehow contains one.
+    inert = (
+        (vis == 0)
+        & (np.abs(e1).max(axis=1) == 0.0)
+        & (np.abs(e2).max(axis=1) == 0.0)
+    )
+    rev = inert[::-1]
+    trail = int(np.argmax(~rev)) if (~rev).any() else len(rev)
+    n_real = max(v0.shape[0] - trail, 1)
+    tree = bvhmod.build(v0[:n_real], e1[:n_real], e2[:n_real])
     packed = ip.pack(
-        v0, e1, e2,
-        np.asarray(geometry.visibility),
-        np.asarray(geometry.opaque),
+        v0[:n_real], e1[:n_real], e2[:n_real],
+        vis[:n_real],
+        np.asarray(geometry.opaque)[:n_real],
         np.asarray(tree.tri_order),
     )
     return Accel(tree=tree, packed=packed)

@@ -38,7 +38,9 @@ def cmd_render(args):
     t0 = time.time()
     scene, tree = _build(args.scene)
     t_build = time.time() - t0
-    print(f"[rls] scene: {scene.geometry.v0.shape[0]} tris, "
+    n_tris = int((np.asarray(scene.geometry.visibility) != 0).sum())
+    print(f"[rls] scene: {n_tris} tris "
+          f"(tables {scene.geometry.v0.shape[0]}), "
           f"{len(scene.material_names)} materials, build {t_build:.2f}s")
 
     trace_ctx = None
@@ -110,6 +112,31 @@ def _expand_serial_no(spec: str):
     return out
 
 
+def _golden_noise_floor(ref: np.ndarray, test: np.ndarray, wm) -> float:
+    """Estimate the golden's own per-pixel MC noise as an rmse floor.
+
+    3x3 box high-pass of both images over the non-watermark pixels: for
+    white noise the high-pass passes sqrt(8)/3 of the noise sigma; real
+    image structure appears in BOTH high-passes, so the golden's EXCESS
+    high-pass energy over ours estimates its noise. Measured on 0009
+    (48-pass converged run): golden high-pass 0.0111 vs ours 0.0057 on the
+    lit bands, and the diff's high-pass correlates -0.87 with the golden's
+    — the residual rmse there IS golden noise (docs/fidelity.md)."""
+    def hp_sq(img):
+        g = img.mean(-1)
+        p = np.pad(g, 1, mode="edge")
+        sm = sum(
+            p[1 + dy:(p.shape[0] - 1 + dy), 1 + dx:(p.shape[1] - 1 + dx)]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ) / 9.0
+        return (g - sm) ** 2
+
+    m = ~wm if (wm is not None and wm.shape == ref.shape[:2]) else np.ones(
+        ref.shape[:2], bool)
+    excess = np.maximum(hp_sq(ref)[m].mean() - hp_sq(test)[m].mean(), 0.0)
+    return float(np.sqrt(excess) * 3.0 / np.sqrt(8.0))
+
+
 def cmd_test(args):
     from .integrator import wavefront
     from .io import exr
@@ -174,10 +201,19 @@ def cmd_test(args):
             else:
                 err_gate = err
             ok = err_gate < args.threshold
+            # The goldens carry their OWN Monte-Carlo noise (AA 3, Arnold's
+            # proprietary correlated sampler): the reference "passes" its
+            # gate by reproducing that noise deterministically, which no
+            # other sampler can. Estimate each golden's noise via its 3x3
+            # high-pass rms relative to OUR render's (converged runs are
+            # smoother; the excess is golden noise) — the implied FLOOR is
+            # the rmse a bias-free, noise-free render would still measure.
+            flo = _golden_noise_floor(ref, test, wm)
             results.append((case, desc, ok, err_gate, dt))
             print(f"[{case}] {'OK  ' if ok else 'FAIL'} "
                   f"rmse={err_gate:.5f} (full {err:.5f}, watermark-masked "
-                  f"{(wm.mean()*100 if wm is not None else 0):.1f}%) "
+                  f"{(wm.mean()*100 if wm is not None else 0):.1f}%, "
+                  f"golden-noise floor ~{flo:.5f}) "
                   f"{dt:.1f}s  {desc}")
             if args.save:
                 # never write into the (read-only) reference suite; renders

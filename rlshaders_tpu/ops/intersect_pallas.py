@@ -129,6 +129,12 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     opq = np.asarray(opaque).astype(np.int32)[order]
     t = v0.shape[0]
     c = (t + TRI_BLOCK - 1) // TRI_BLOCK
+    # bucket the cluster count to a power of two: cluster-table shapes are
+    # traced-operand shapes of every fused render program, so same-bucket
+    # scenes share the ~650-750s TPU compile (docs/perf.md). The extra
+    # clusters are all-padding: degenerate AABBs (min>max) fail the exact
+    # cull and project to BIG, so the walk never visits them.
+    c = max(4, 1 << int(np.ceil(np.log2(max(c, 1)))))
     pad = c * TRI_BLOCK - t
 
     def padv(a, val=0.0):

@@ -667,13 +667,32 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
     )
     mat_blocks = (kt_m[matid_all] <= 1e-5) & (op_m[matid_all] >= 1.0 - 1e-5)
     opq_eff = opq_flag | mat_blocks
+    # Pad every per-triangle table to a power-of-two bucket (min 128) with
+    # inert rows (degenerate position, visibility 0 — rejected by both trace
+    # backends before any shading). Per-tri array SHAPES are traced-operand
+    # shapes of every fused program, so without bucketing each scene size
+    # pays the full ~650-750 s TPU compile (docs/perf.md): with it, e.g.
+    # testsuite 0009 (242 tris) and 0010 (200 tris) share one shape class.
+    n_real = cat(MATID).shape[0]
+    # floor 512: merges every small scene (unit tests, the 0009/0010 skin
+    # pair at 400/200 tris) into one shape class for trivial memory
+    n_pad = max(512, 1 << int(np.ceil(np.log2(max(n_real, 1)))))
+    pad = n_pad - n_real
+
+    def padded(a, fill=0.0):
+        a = cat(a) if isinstance(a, list) else a
+        if pad == 0:
+            return jnp.asarray(a)
+        width = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.asarray(np.pad(a, width, constant_values=fill))
+
     geometry = Geometry(
-        v0=jnp.asarray(cat(V0)), e1=jnp.asarray(cat(E1)), e2=jnp.asarray(cat(E2)),
-        n0=jnp.asarray(cat(N0)), n1=jnp.asarray(cat(N1)), n2=jnp.asarray(cat(N2)),
-        uv0=jnp.asarray(cat(UV0)), uv1=jnp.asarray(cat(UV1)), uv2=jnp.asarray(cat(UV2)),
-        mat_id=jnp.asarray(cat(MATID)), mesh_id=jnp.asarray(cat(MESHID)),
-        visibility=jnp.asarray(cat(VIS)), opaque=jnp.asarray(opq_eff),
-        receive_shadows=jnp.asarray(cat(RCV)),
+        v0=padded(V0), e1=padded(E1), e2=padded(E2),
+        n0=padded(N0, 1.0), n1=padded(N1, 1.0), n2=padded(N2, 1.0),
+        uv0=padded(UV0), uv1=padded(UV1), uv2=padded(UV2),
+        mat_id=padded(MATID), mesh_id=padded(MESHID, -1),
+        visibility=padded(VIS, 0), opaque=padded(opq_eff, False),
+        receive_shadows=padded(cat(RCV), True),
     )
 
     materials = Materials(

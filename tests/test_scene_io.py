@@ -89,3 +89,33 @@ def test_scene_build_tables():
     # lights built with normalize-folded radiance
     assert np.asarray(sc.quad_lights.area).min() > 0
     assert sc.sky.exists
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_geometry_bucket_padding():
+    """Per-triangle tables are padded to power-of-two buckets (traced-operand
+    shapes -> shared TPU compiles across same-bucket scenes, docs/perf.md);
+    the padded tail is inert (invisible + edge-degenerate) and the accel
+    builders strip it (cluster tables bucket separately with all-padding
+    clusters behind degenerate AABBs)."""
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.scene import build as buildmod
+
+    sc = buildmod.build(f"{REF}/mtoa/0009/data/skin_probe_sampling.ass")
+    g = sc.geometry
+    t = int(g.v0.shape[0])
+    assert t >= 512 and (t & (t - 1)) == 0, t  # power-of-two, floor 512
+    vis = np.asarray(g.visibility)
+    assert vis[-1] == 0  # padded tail present for this 400-tri scene
+    pad = vis == 0
+    assert np.abs(np.asarray(g.e1)[pad]).max() == 0.0
+    accel = tracemod.build(g)
+    # cluster bucket: power-of-two cluster count, padded clusters degenerate
+    c = int(accel.packed.oct_projid.shape[1])
+    assert (c & (c - 1)) == 0, c
+    # BVH sees only real triangles
+    assert int(np.asarray(accel.tree.tri_order).max()) < t - int(pad.sum()) + 1
+
+    # same bucket class as 0010 (the motivating pair)
+    sc2 = buildmod.build(f"{REF}/mtoa/0010/data/skin_diffusion.ass")
+    assert int(sc2.geometry.v0.shape[0]) == t
