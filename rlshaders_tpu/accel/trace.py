@@ -23,7 +23,9 @@ class Accel(NamedTuple):
     packed: ip.PackedScene
 
 
-def build(geometry) -> Accel:
+def build(geometry, member: np.ndarray | None = None) -> Accel:
+    """Build both tracing backends over the geometry (or a SUBSET of it,
+    see build_trace_set). Hit.tri always reports ORIGINAL triangle ids."""
     v0 = np.asarray(geometry.v0)
     e1 = np.asarray(geometry.e1)
     e2 = np.asarray(geometry.e2)
@@ -42,14 +44,35 @@ def build(geometry) -> Accel:
     rev = inert[::-1]
     trail = int(np.argmax(~rev)) if (~rev).any() else len(rev)
     n_real = max(v0.shape[0] - trail, 1)
-    tree = bvhmod.build(v0[:n_real], e1[:n_real], e2[:n_real])
+    idx = np.arange(n_real)
+    if member is not None:
+        idx = idx[np.asarray(member, bool)[:n_real]]
+        if idx.size == 0:
+            idx = np.zeros(1, np.int64)  # degenerate: one inert tri
+    tree = bvhmod.build(v0[idx], e1[idx], e2[idx])
+    # remap the builder's subset-local order back to original tri ids so
+    # Hit.tri / exclude_tri stay in the global id space (pack and the CPU
+    # traversal both gather geometry BY the order's ids at query time)
+    tree = tree._replace(tri_order=idx[np.asarray(tree.tri_order)])
     packed = ip.pack(
-        v0[:n_real], e1[:n_real], e2[:n_real],
-        vis[:n_real],
-        np.asarray(geometry.opaque)[:n_real],
+        v0, e1, e2, vis,
+        np.asarray(geometry.opaque),
         np.asarray(tree.tri_order),
     )
     return Accel(tree=tree, packed=packed)
+
+
+def build_trace_set(geometry, set_bit: int, inclusive: bool) -> Accel:
+    """Accel restricted to a trace set (Arnold AiShaderGlobalsSet/Unset
+    TraceSet — the service the reference's probe confinement consumes,
+    rlSss.h:213-218): `inclusive` keeps only members of the set, else
+    skips them. Set membership lives in visibility bits 8.. (scene/build.py
+    folds `trace_sets` names per mesh; `set_bit` is the set's index in
+    scene.trace_set_names). Queries on the returned Accel behave exactly
+    like the full-scene ones (original triangle ids, same vis gating) —
+    trace-set filtering costs nothing in the hot kernels."""
+    mem = (np.asarray(geometry.visibility) & (1 << (8 + set_bit))) != 0
+    return build(geometry, member=mem if inclusive else ~mem)
 
 
 def use_pallas() -> bool:

@@ -204,8 +204,11 @@ def _parse_node(s: _Stream) -> Node:
             break
         pname = tok
         if pname == "declare":
-            # declare <name> <class> <TYPE>
-            s.next(), s.next(), s.next()
+            # declare <name> <class> <TYPE>  |  declare <name> <class> ARRAY <TYPE>
+            s.next(), s.next()
+            _, ty = s.next()
+            if ty == "ARRAY":
+                s.next()
             continue
         if pname == "matrix":
             # either 16 floats, or "matrix <n> <nkeys> MATRIX" (motion blur)

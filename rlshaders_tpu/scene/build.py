@@ -209,6 +209,7 @@ class Scene:
     options: RenderOptions
     mesh_names: list = field(default_factory=list)
     material_names: list = field(default_factory=list)
+    trace_set_names: list = field(default_factory=list)
 
 
 def _xform_points(pts: np.ndarray, m: np.ndarray) -> np.ndarray:
@@ -600,6 +601,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
     V0, E1, E2, N0, N1, N2, UV0, UV1, UV2 = ([] for _ in range(9))
     MATID, MESHID, VIS, OPQ, RCV = ([] for _ in range(5))
     mesh_names = []
+    trace_set_names: list[str] = []
 
     for n in nodes:
         if n.type != "polymesh":
@@ -648,7 +650,19 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         UV0.append(u0); UV1.append(u1); UV2.append(u2)
         MATID.append(np.full(t, mat, np.int32))
         MESHID.append(np.full(t, mid, np.int32))
-        VIS.append(np.full(t, int(n.get("visibility", 255)), np.int32))
+        # trace sets (Arnold AiShaderGlobalsSetTraceSet, consumed by the
+        # reference's probe confinement — rlSss.h:213-218): per-mesh set
+        # names fold into visibility bits 8.. (the ray-visibility masks all
+        # fit in bits 0..7); queries use subset accels (accel/trace.py).
+        ts = n.get("trace_sets")
+        set_bits = 0
+        if ts:
+            for name in ([ts] if isinstance(ts, str) else list(ts)):
+                if name not in trace_set_names:
+                    trace_set_names.append(name)
+                set_bits |= 1 << (8 + trace_set_names.index(name))
+        VIS.append(np.full(
+            t, int(n.get("visibility", 255)) | set_bits, np.int32))
         OPQ.append(np.full(t, bool(n.get("opaque", True))))
         RCV.append(np.full(t, bool(n.get("receive_shadows", True))))
 
@@ -826,4 +840,5 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         options=opts,
         mesh_names=mesh_names,
         material_names=material_names,
+        trace_set_names=trace_set_names,
     )

@@ -134,3 +134,107 @@ def test_native_builder_agrees_with_numpy():
     h2 = B.intersect(tree_py, jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2), o, d)
     np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), atol=1e-4)
     assert (np.asarray(h1.tri) == np.asarray(h2.tri)).mean() == 1.0
+
+
+def test_trace_sets_subset_accel(tmp_path):
+    """Trace sets (Arnold AiShaderGlobalsSetTraceSet, rlSss.h:213-218):
+    meshes declare `trace_sets` names; build_trace_set returns an accel
+    restricted to members (inclusive) or non-members (exclusive), with
+    ORIGINAL triangle ids, so probe/secondary queries can be confined the
+    way the reference's probe tracer was designed to be."""
+    import os
+
+    import jax.numpy as jnp
+
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.scene import build as buildmod
+
+    scene_text = """
+options
+{ AA_samples 1 xres 4 yres 4 camera "cam" }
+persp_camera
+{ name cam
+ fov 40
+ matrix
+ 1 0 0 0
+ 0 0 -1 0
+ 0 1 0 0
+ 0 3 0 1
+}
+polymesh
+{
+ name upper
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-5 0 5 5 0 5 -5 0 -5 5 0 -5
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 1 0 1
+ shader "sg"
+ declare trace_sets constant ARRAY STRING
+ trace_sets "setA"
+}
+polymesh
+{
+ name lower
+ nsides 4
+ vidxs 4 1 UINT
+0 1 3 2
+ vlist 4 1 POINT
+-5 0 5 5 0 5 -5 0 -5 5 0 -5
+ nlist 4 1 VECTOR
+0 1 0 0 1 0 0 1 0 0 1 0
+ nidxs 4 1 UINT
+0 1 2 3
+ matrix
+ 1 0 0 0
+ 0 1 0 0
+ 0 0 1 0
+ 0 -1 0 1
+ shader "sg"
+}
+MayaShadingEngine
+{ name sg beauty mat }
+standard
+{ name mat Kd 1 }
+"""
+    p = os.path.join(str(tmp_path), "ts.ass")
+    with open(p, "w") as f:
+        f.write(scene_text)
+    scene = buildmod.build(p)
+    assert scene.trace_set_names == ["setA"]
+    g = scene.geometry
+    mesh_of = np.asarray(g.mesh_id)
+
+    o = jnp.asarray([[0.0, 5.0, 0.0]] * 4, jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]] * 4, jnp.float32)
+
+    full = tracemod.build(g)
+    h = tracemod.nearest(full, g, o, d, vis_mask=0xFF)
+    assert np.all(mesh_of[np.asarray(h.tri)] == 0)  # upper plane first
+
+    inc = tracemod.build_trace_set(g, 0, inclusive=True)
+    h_inc = tracemod.nearest(inc, g, o, d, vis_mask=0xFF)
+    assert np.all(mesh_of[np.asarray(h_inc.tri)] == 0)
+
+    exc = tracemod.build_trace_set(g, 0, inclusive=False)
+    h_exc = tracemod.nearest(exc, g, o, d, vis_mask=0xFF)
+    tri_exc = np.asarray(h_exc.tri)
+    assert np.all(tri_exc >= 0)
+    assert np.all(mesh_of[tri_exc] == 1)  # set member skipped -> lower plane
+
+    # occlusion honors the subset too: a segment ending between the planes
+    # is blocked by the upper plane only for the inclusive accel
+    tmax = jnp.full((4,), 5.5, jnp.float32)
+    assert bool(np.all(np.asarray(
+        tracemod.occluded(inc, g, o, d, tmax, vis_mask=0xFF))))
+    assert not bool(np.any(np.asarray(
+        tracemod.occluded(exc, g, o, d, tmax, vis_mask=0xFF))))
