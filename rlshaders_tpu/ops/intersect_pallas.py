@@ -134,7 +134,9 @@ def pack(v0, e1, e2, visibility, opaque, order) -> PackedScene:
     # scenes share the ~650-750s TPU compile (docs/perf.md). The extra
     # clusters are all-padding: degenerate AABBs (min>max) fail the exact
     # cull and project to BIG, so the walk never visits them.
-    c = max(4, 1 << int(np.ceil(np.log2(max(c, 1)))))
+    import os as _os2
+    if _os2.environ.get("RLS_CLUSTER_BUCKET", "1") == "1":
+        c = max(4, 1 << int(np.ceil(np.log2(max(c, 1)))))
     pad = c * TRI_BLOCK - t
 
     def padv(a, val=0.0):
