@@ -149,11 +149,19 @@ def cmd_test(args):
     )
     # Every golden carries the Arnold license watermark (skip_license_check
     # renders watermarked; letters visible on the black backgrounds of 0003
-    # and 0009). Derive the letter mask once from the goldens and gate on
-    # watermark-masked RMSE, reporting the full-frame number alongside.
-    from .utils.watermark import watermark_mask
+    # and 0009). The harness gates on watermark-masked RMSE against the
+    # PINNED mask (utils/wm_mask_256.bits), reporting the full-frame number
+    # alongside. Guard: the derived mask must not have grown past the
+    # pinned coverage, so "gate passed" claims stay comparable across
+    # rounds (VERDICT r3 weak#5).
+    from .utils import watermark
 
-    wm = watermark_mask(suite)
+    wm = watermark.pinned_mask()
+    derived = watermark.watermark_mask(suite)
+    if derived is not None and derived.mean() > watermark.PINNED_COVERAGE + 1e-6:
+        print(f"[rls] WARNING: derived watermark mask coverage "
+              f"{derived.mean():.4f} exceeds pinned "
+              f"{watermark.PINNED_COVERAGE:.4f}; gating on the PINNED mask")
     results = []
     for case in cases:
         case_dir = os.path.join(suite, "mtoa", case)
@@ -209,10 +217,11 @@ def cmd_test(args):
             # smoother; the excess is golden noise) — the implied FLOOR is
             # the rmse a bias-free, noise-free render would still measure.
             flo = _golden_noise_floor(ref, test, wm)
-            results.append((case, desc, ok, err_gate, dt))
+            cov = float(wm.mean()) if wm is not None else 0.0
+            results.append((case, desc, ok, err_gate, err, flo, cov, dt))
             print(f"[{case}] {'OK  ' if ok else 'FAIL'} "
                   f"rmse={err_gate:.5f} (full {err:.5f}, watermark-masked "
-                  f"{(wm.mean()*100 if wm is not None else 0):.1f}%, "
+                  f"{cov*100:.1f}%, "
                   f"golden-noise floor ~{flo:.5f}) "
                   f"{dt:.1f}s  {desc}")
             if args.save:
@@ -221,14 +230,19 @@ def cmd_test(args):
                 os.makedirs("out", exist_ok=True)
                 exr.write_rgb(os.path.join("out", f"test_{case}.exr"), test)
         except Exception as e:  # noqa: BLE001
-            results.append((case, desc, False, float("nan"), 0.0))
+            results.append((case, desc, False, float("nan"), float("nan"),
+                            float("nan"), 0.0, 0.0))
             print(f"[{case}] ERROR {type(e).__name__}: {e}")
     n_ok = sum(1 for r in results if r[2])
     print(f"\n{n_ok}/{len(results)} passed (gate rmse < {args.threshold})")
     if args.report:
         with open(args.report, "w") as f:
-            for case, desc, ok, err, dt in results:
-                f.write(f"{case},{desc},{'OK' if ok else 'FAIL'},{err:.6f},{dt:.1f}\n")
+            f.write("case,desc,status,masked_rmse,full_rmse,"
+                    "golden_noise_floor,mask_coverage,seconds\n")
+            for case, desc, ok, err, full, flo, cov, dt in results:
+                f.write(f"{case},{desc},{'OK' if ok else 'FAIL'},"
+                        f"{err:.6f},{full:.6f},{flo:.6f},{cov:.4f},"
+                        f"{dt:.1f}\n")
     return 0 if n_ok == len(results) else 1
 
 

@@ -58,6 +58,22 @@ def _erode(m: np.ndarray, it: int = 1) -> np.ndarray:
     return m
 
 
+# The mask is PINNED (VERDICT r3 weak#5): the gate is measured on
+# watermark-masked pixels, so any silent mask growth would inflate pass
+# claims. wm_mask_256.bits is the packbits of the (256, 256) derived mask,
+# committed once; pinned_mask() is what the harness gates on, and a test
+# asserts watermark_mask() still reproduces it bit-for-bit.
+PINNED_SHA256 = "a0ef3b7e82eee465ab72f42391c47022f2e233249c04dad1797b1784fea3a3e1"
+PINNED_COVERAGE = 0.1733856201171875
+
+
+def pinned_mask() -> np.ndarray:
+    """The checked-in (256, 256) bool watermark mask (glyph footprint)."""
+    path = os.path.join(os.path.dirname(__file__), "wm_mask_256.bits")
+    bits = np.fromfile(path, dtype=np.uint8)
+    return np.unpackbits(bits).astype(bool).reshape(256, 256)
+
+
 def watermark_mask(suite: str) -> np.ndarray | None:
     """(256, 256) bool mask of the watermark GLYPH footprint, or None if
     the donor goldens are unavailable.
