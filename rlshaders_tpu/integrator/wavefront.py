@@ -81,6 +81,14 @@ class DeviceScene(NamedTuple):
     sky_radiance: jnp.ndarray  # (3,)
     textures: "object"     # scene.texture.TextureStack
     accel: "object"        # accel.trace.Accel (BVH arrays + Pallas packing)
+    tex_aniso_alpha: jnp.ndarray  # (1,) grazing-inflation exponent of the
+    #                        texture footprint: fp *= max(cos^-alpha,
+    #                        1/(8 cos)). 0.5 = isotropic geometric mean of
+    #                        the ellipse axes (legacy); 0 = minor-axis
+    #                        filtering with anisotropy capped at 8 (Arnold's
+    #                        smart_bicubic sees per-pixel derivatives, i.e.
+    #                        anisotropic: the digit-outline ghosting in the
+    #                        r4 converged diff is the geo-mean over-blur)
     lod_bias: jnp.ndarray  # (1,) texture-minification calibration (traced so
     #                        RLS_LOD_BIAS sweeps reuse the compiled program;
     #                        shape (1,) NOT () — rank-0 jit params land in
@@ -175,6 +183,10 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
         lod_bias=jnp.full(
             (1,), float(os.environ.get("RLS_LOD_BIAS", "-0.5")), jnp.float32
         ),
+        tex_aniso_alpha=jnp.full(
+            (1,), float(os.environ.get("RLS_TEX_ANISO_ALPHA", "0.5")),
+            jnp.float32,
+        ),
     ))
 
 
@@ -242,8 +254,10 @@ def _surface(sc: DeviceScene, t, tri_in, uu, vv, o, d,
     if spread is None:
         spread = jnp.zeros_like(t)
     tc = jnp.where(valid, t, 0.0)
-    cosg = jnp.abs(vec3.dot(ng, dv))
-    fp = (base_fp + spread * tc) / jnp.sqrt(jnp.maximum(cosg, 0.05))
+    cosg = jnp.maximum(jnp.abs(vec3.dot(ng, dv)), 0.05)
+    alpha = sc.tex_aniso_alpha[0]
+    inflate = jnp.maximum(cosg ** (-alpha), 1.0 / (8.0 * cosg))
+    fp = (base_fp + spread * tc) * inflate
     # per-triangle UV density: texels-per-world from the uv/world area ratio
     duv1 = uv1 - uv0
     duv2 = uv2 - uv0
@@ -390,10 +404,18 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
     )
 
 
-def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
-                   nb_diffuse, nb_glossy, sky_nb_d=None, sky_nb_g=None):
-    """MIS-weighted reduction of the flat light grid -> (diffuse V3,
-    specular V3), both (N,) channels.
+def _direct_eval(matv, frame, wo_local: V3, grid: LightGrid,
+                 nb_diffuse, nb_glossy, sky_nb_d=None, sky_nb_g=None):
+    """Pre-shadow MIS-weighted per-column light contributions.
+
+    Returns (contrib_d V3, contrib_s V3, live bool), all flat (N*k,):
+    contrib_* already carry radiance * f * mis / pdf — everything EXCEPT the
+    shadow transmission, which multiplies in afterwards. `live` marks
+    columns with any nonzero contribution; the caller sets the shadow
+    segment t_max to 0 for dead columns (below-horizon samples,
+    facing-away lights, zero weights), which the trace prepass culls — the
+    same skip-black-BRDF-before-the-shadow-ray optimization Arnold's
+    AiEvaluateLightSample performs.
 
     nb_* are the BSDF-strategy sample counts competing in the MIS for the
     QUAD/DISK columns; sky_nb_* (default: same) are the counts for the SKY
@@ -419,11 +441,8 @@ def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
     fd, pd = dispatch.eval_diffuse(matv_k, wo_k, wi_l)
     fs, ps = dispatch.eval_specular(matv_k, wo_k, wi_l)
 
-    live = grid.pdf > 0.0
-    # transmission is a per-channel V3: colored Kt shadows (reference
-    # out_opacity = 1 - Kt*KtColor, rlGgx.cpp:264-268) attenuate per RGB.
-    inv_pdf = jnp.where(live, 1.0 / jnp.maximum(grid.pdf, 1e-12), 0.0)
-    trans_ip = transmission * inv_pdf
+    ok = grid.pdf > 0.0
+    inv_pdf = jnp.where(ok, 1.0 / jnp.maximum(grid.pdf, 1e-12), 0.0)
     nl_r = jnp.repeat(grid.nl, n)
     w_d_r = jnp.repeat(grid.w_d, n)
     w_s_r = jnp.repeat(grid.w_s, n)
@@ -437,9 +456,11 @@ def _direct_reduce(matv, frame, wo_local: V3, grid: LightGrid, transmission,
     )
     wl_d = lightsmod.mis_weight(nl_r * grid.pdf, nbd_r * pd)
     wl_s = lightsmod.mis_weight(nl_r * grid.pdf, nbg_r * ps)
-    diffuse = vec3.ksum(grid.rad * trans_ip * (wl_d * w_d_r) * fd, k)
-    specular = vec3.ksum(grid.rad * trans_ip * (wl_s * w_s_r) * fs, k)
-    return diffuse, specular
+    contrib_d = grid.rad * (inv_pdf * wl_d * w_d_r) * fd
+    contrib_s = grid.rad * (inv_pdf * wl_s * w_s_r) * fs
+    live = (contrib_d.x + contrib_d.y + contrib_d.z
+            + contrib_s.x + contrib_s.y + contrib_s.z) > 0.0
+    return contrib_d, contrib_s, live
 
 
 def _light_pickup(sc, static, o: V3, d: V3, lobe_pdf, nb,
@@ -791,16 +812,6 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
                        include_sky=sky_in_grid, ctx=ctx)
     if grid is not None:
         k = grid.pdf.shape[0] // n
-        sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
-        sh_d = grid.wi.aos()
-        sh_t = grid.dist - 2 * RAY_EPS
-        sh_ex = jnp.tile(surf.tri, k)
-        shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
-        # receive_shadows off (the shared scene's side walls,
-        # test_geo.ass:214): the surface is lit as if unoccluded
-        rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
-        shadowed = vec3.where(rcv, shadowed, 1.0)
-
         # At the camera level the BSDF strategies are the spawned indirect
         # ray families; at secondary hits both lobes MIS against the
         # 1-sample BSDF strategy (continuation family or spec_direct
@@ -822,8 +833,22 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
                       and rt_ < conf.gi_total_depth)
             sky_nb_d = 1 if cont_d else 0
             sky_nb_g = 1 if cont_g else 0
-        diffuse, specular = _direct_reduce(matv, frame, wo, grid, shadowed,
-                                           nb_d, nb_g, sky_nb_d, sky_nb_g)
+        contrib_d, contrib_s, live = _direct_eval(
+            matv, frame, wo, grid, nb_d, nb_g, sky_nb_d, sky_nb_g)
+        # receive_shadows off (the shared scene's side walls,
+        # test_geo.ass:214): the surface is lit as if unoccluded
+        rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
+        sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
+        sh_d = grid.wi.aos()
+        # dead columns (zero pre-shadow contribution, or shadow-exempt
+        # receivers) get t_max 0: the trace prepass culls them and the
+        # dead-ray sort key compacts them into skipped blocks
+        sh_t = jnp.where(live & rcv, grid.dist - 2 * RAY_EPS, 0.0)
+        sh_ex = jnp.tile(surf.tri, k)
+        shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
+        shadowed = vec3.where(rcv, shadowed, 1.0)
+        diffuse = vec3.ksum(contrib_d * shadowed, k)
+        specular = vec3.ksum(contrib_s * shadowed, k)
     else:
         zero = jnp.zeros_like(pv.x)
         diffuse = V3(zero, zero, zero)

@@ -533,9 +533,16 @@ def _ray_sort_key(packed: "PackedScene", o, d):
 def _sort_rays(packed, o, d, t_max, exclude):
     """Reorder rays for block coherence with ONE multi-operand lax.sort —
     measured ~free on this backend, vs ~19 ms per 262k rays for
-    argsort + 4 payload gathers (tools/prep_lab.py, docs/perf.md)."""
+    argsort + 4 payload gathers (tools/prep_lab.py, docs/perf.md).
+
+    DEAD rays (t_max ~ 0: zero-BSDF-weight shadow lanes, no-light-hit
+    pickup lanes, padding) sort to a dedicated key ABOVE every live key, so
+    they compact into all-dead blocks whose candidate count is 0 (the
+    prepass culls t_max<=0 lanes) — instead of diluting live blocks where
+    they'd still occupy sublanes for the full walk."""
     r = o.shape[0]
     key = _ray_sort_key(packed, o, d)
+    key = jnp.where(t_max <= 1e-6, jnp.int32(0x7FFFFFF), key)
     iota = jnp.arange(r, dtype=jnp.int32)
     (_, perm, ox, oy, oz, dx, dy, dz, tmx, ex) = jax.lax.sort(
         (key, iota, o[:, 0], o[:, 1], o[:, 2],

@@ -1,0 +1,119 @@
+"""Global-energy sensitivity sweep on converged-ish 0004 renders.
+
+The round-4 converged decomposition (out/conv_0004.exr, 16 passes) shows a
+near-GLOBAL relative deficit: backdrop -2.0%, ball -3.3%, plinth -2.4%
+relative, logo +3% (separately-fitted SSS). Candidate semantic causes, each
+a table edit (traced argument — no recompile):
+
+  base    committed state
+  wall_l  side walls' diffuse_roughness -> 0 (Lambert bounce cards): tests
+          the Oren-Nayar-at-sigma-1 energy hypothesis (our 2-term
+          qualitative ON may under-bounce vs Arnold's)
+  quads   all quad radiance x1.03 (light-table scale hypothesis)
+  sky     sky radiance x1.03
+  sss0    logo sss_weight -> 0 (SSS share measurement for deriving the
+          standard-Ksss exitance factor from the golden by linearity)
+
+Each variant renders N passes (per-material MEANS converge much faster
+than rmse); prints per-material signed means + rmse vs the golden.
+
+Usage: python tools/sweep_global.py [--passes 2] [--variants base,wall_l,...]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+p = argparse.ArgumentParser()
+p.add_argument("--passes", type=int, default=2)
+p.add_argument("--variants", default="base,wall_l,quads,sky,sss0")
+args = p.parse_args()
+
+import numpy as np
+
+import rlshaders_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from rlshaders_tpu.accel import trace as tracemod
+from rlshaders_tpu.integrator import wavefront
+from rlshaders_tpu.io import exr
+from rlshaders_tpu.scene import build as buildmod
+from rlshaders_tpu.utils import watermark
+
+scene = buildmod.build("/root/reference/testsuite/mtoa/0004/data/disney.ass")
+accel = tracemod.build(scene.geometry)
+ref = exr.read_rgb("/root/reference/testsuite/mtoa/0004/ref/ref.exr")
+wm = watermark.pinned_mask()
+mid = np.load("out/matid_0004.npy")
+names = list(scene.material_names)
+print("materials:", names, flush=True)
+
+base_mats = scene.materials
+base_quads = scene.quad_lights
+base_sky = scene.sky
+
+
+def edit_mat(mats, row, **kw):
+    upd = {}
+    for k, v in kw.items():
+        arr = np.asarray(getattr(mats, k)).copy()
+        arr[row] = v
+        upd[k] = jnp.asarray(arr)
+    return mats._replace(**upd)
+
+
+def variant(tag):
+    scene.materials = base_mats
+    scene.quad_lights = base_quads
+    scene.sky = base_sky
+    os.environ.pop("RLS_TEX_ANISO_ALPHA", None)
+    os.environ.pop("RLS_LOD_BIAS", None)
+    if tag == "aniso0":
+        # minor-axis texture filtering (aniso cap 8), keep lod bias -0.5
+        os.environ["RLS_TEX_ANISO_ALPHA"] = "0.0"
+    elif tag == "aniso0b0":
+        os.environ["RLS_TEX_ANISO_ALPHA"] = "0.0"
+        os.environ["RLS_LOD_BIAS"] = "0.0"
+    elif tag == "aniso025":
+        os.environ["RLS_TEX_ANISO_ALPHA"] = "0.25"
+    elif tag == "wall_l":
+        scene.materials = edit_mat(base_mats, names.index("diffusePlaneSG"),
+                                   diffuse_roughness=0.0)
+    elif tag == "quads":
+        scene.quad_lights = base_quads._replace(
+            radiance=base_quads.radiance * 1.03)
+    elif tag == "sky":
+        scene.sky = base_sky._replace(radiance=base_sky.radiance * 1.03)
+    elif tag == "sss0":
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   sss_weight=0.0)
+
+
+def render_mean(tag):
+    variant(tag)
+    t0 = time.time()
+    acc = None
+    for s in range(args.passes):
+        out = wavefront.render(scene, accel, seed=1000 + s, aa_samples=3,
+                               tile_pixels=8192)
+        img = np.asarray(out["RGBA"], np.float32)
+        acc = img if acc is None else acc + img
+    img = acc / args.passes
+    d = img - ref
+    line = [f"{tag:7s} ({time.time()-t0:.0f}s)"]
+    for i, nm in enumerate(names):
+        m = (mid == i) & ~wm
+        if m.sum() < 100:
+            continue
+        rel = 100.0 * d[m].mean() / max(ref[m].mean(), 1e-6)
+        line.append(f"{nm.split('SG')[0][:10]}: {d[m].mean():+.4f} ({rel:+.2f}%)")
+    full = np.sqrt((d[~wm] ** 2).mean())
+    line.append(f"rmse {full:.5f}")
+    print("  ".join(line), flush=True)
+    np.save(f"out/sweep_{tag}.npy", img)
+
+
+for tag in args.variants.split(","):
+    render_mean(tag)
