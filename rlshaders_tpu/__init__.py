@@ -26,29 +26,34 @@ if "xla_tpu_scoped_vmem_limit_kib" not in _flags:
         _flags + " --xla_tpu_scoped_vmem_limit_kib=131072"
     ).strip()
 
-# Persistent XLA compilation cache — CPU platform ONLY. On the axon TPU
-# tunnel, serializing the multi-hundred-MB Mosaic executables makes renders
-# severalfold SLOWER (measured), so the cache must stay off there. On CPU
-# (pytest, local drives) it removes repeat compiles across processes.
-# jax 0.9 does not read the env var for this knob, so set it through
-# jax.config. Opt out by setting JAX_COMPILATION_CACHE_DIR="" explicitly.
-if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
-    _cache = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(
-            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-            ".jax_cache",
-        ),
-    )
-    if _cache:
-        import jax as _jax
+# Persistent XLA compilation cache — ALL platforms, including the axon TPU
+# tunnel. Round 2 disabled it on TPU after measuring "slower + keys differ
+# across processes"; round 4 ran the cause down (tools/cache_key_probe.py,
+# tools/hlo_ctx_diff.py): the Pallas/Mosaic kernel payloads embed the
+# PYTHON CALL STACK as MLIR locations, so the serialized module — and hence
+# the cache key — changed with any difference in calling context (even the
+# line numbers of the driver script). jax_traceback_in_locations_limit=0
+# strips frame locations from lowered modules, making keys deterministic
+# across processes; transport of the ~112 MB fused-tile executable over the
+# tunnel costs seconds at the measured 60-80 MB/s (docs/perf.md), vs the
+# 650-750 s recompile it replaces.
+# jax 0.9 does not read env vars for these knobs; set through jax.config.
+# Opt out by setting JAX_COMPILATION_CACHE_DIR="" explicitly.
+import jax as _jax
 
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        del _jax
-    del _cache
-del _os, _flags
+_jax.config.update("jax_traceback_in_locations_limit", 0)
+_cache = _os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        ".jax_cache",
+    ),
+)
+if _cache:
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+del _jax, _cache, _os, _flags
 
 __version__ = "0.1.0"

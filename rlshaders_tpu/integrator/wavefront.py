@@ -553,10 +553,18 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
     channels; 1 = fully visible. Ray arrays stay AoS (Pallas boundary).
 
     Scenes with transmissive/transparent materials (rlGgx Kt shadows,
-    rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to 4
-    transparent hits multiplying each surface's RGB shadow transmission
-    (colored Kt shadows stay colored); fully-opaque scenes keep the
-    single any-hit query."""
+    rlGgx.cpp:264-268: out_opacity = 1 - Kt*KtColor) march up to
+    RLS_SHADOW_HITS (default 4) transparent hits multiplying each
+    surface's RGB shadow transmission (colored Kt shadows stay colored);
+    fully-opaque scenes keep the single any-hit query.
+
+    DOCUMENTED DIVERGENCE from Arnold: the host's transparent-shadow chain
+    is unbounded (it marches until opaque or the segment ends), ours is a
+    static unroll of RLS_SHADOW_HITS nearest queries — a scene with more
+    than that many STACKED transparent surfaces between a shading point
+    and a light darkens (the 5th+ surfaces count as opaque). The testsuite
+    scenes max out at 2 (glass sphere front/back); raise the env knob for
+    deeper glass stacks (compile time scales with the unroll)."""
     o, d, tmax, ex = sh
     if not static.has_transparent:
         blocked = tracemod.occluded(
@@ -565,13 +573,15 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
         )
         vis = (~blocked).astype(jnp.float32)
         return V3(vis, vis, vis)
+    import os as _os
+    n_hits = int(_os.environ.get("RLS_SHADOW_HITS", "4"))
     mats = sc.materials
     one = jnp.ones(o.shape[0], jnp.float32)
     atten = V3(one, one, one)
     origin = o
     remaining = tmax
     exclude = ex
-    for _ in range(4):
+    for _ in range(n_hits):
         hit = tracemod.nearest(
             sc.accel, sc.geometry, origin, d,
             vis_mask=VIS_SHADOW, exclude_tri=exclude,
