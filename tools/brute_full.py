@@ -260,7 +260,8 @@ def radiance_at(pos, ns, wo, mid, ray_lobe, rr):
     flow; depth recursion mirrors wavefront._secondary_indirect_t."""
     rd, rg, rrf, rt = rr
     n = pos.shape[0]
-    fr = framemod.build_frame_polar(jnp.asarray(ns, jnp.float32))
+    fr0 = framemod.build_frame_polar(jnp.asarray(ns, jnp.float32))
+    fr = framemod.Frame(u=v3(fr0.u), v=v3(fr0.v), n=v3(fr0.n))
     matg = matg_of(mid, diffuse_ray=(ray_lobe == "diffuse"))
     L = nee_quads(pos, ns, wo, matg, fr)
     is_std = np.asarray(matg.mtype) == MAT_STANDARD

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 p = argparse.ArgumentParser()
 p.add_argument("case", nargs="?", default="0004")
 p.add_argument("--aa", type=int, default=3)
+p.add_argument("--passes", type=int, default=4)
 p.add_argument("--platform", default=None)
 p.add_argument("--skip-render", action="store_true",
                help="reuse existing out/comp_*.npy")
@@ -60,11 +61,16 @@ def render_variant(tag, scene_v):
     if args.skip_render and os.path.exists(path):
         return np.load(path)
     t0 = time.time()
-    out = wavefront.render(scene_v, accel, seed=0, aa_samples=args.aa,
-                           tile_pixels=8192)
-    img = np.asarray(out["RGBA"], np.float32)
+    acc = None
+    for s in range(args.passes):
+        out = wavefront.render(scene_v, accel, seed=1000 + s,
+                               aa_samples=args.aa, tile_pixels=8192)
+        img = np.asarray(out["RGBA"], np.float32)
+        acc = img if acc is None else acc + img
+    img = acc / args.passes
     np.save(path, img)
-    print(f"[{tag}] rendered in {time.time()-t0:.0f}s", flush=True)
+    print(f"[{tag}] rendered {args.passes} passes in {time.time()-t0:.0f}s",
+          flush=True)
     return img
 
 

@@ -86,6 +86,18 @@ def variant(tag):
             radiance=base_quads.radiance * 1.03)
     elif tag == "sky":
         scene.sky = base_sky._replace(radiance=base_sky.radiance * 1.03)
+    elif tag == "lgamma1":
+        # light_gamma NOT applied to light colors (Arnold-semantics probe):
+        # radiance was built as c^2.2 * 2^exp / area; undo the gamma on the
+        # COLOR factor only -> multiply by c^(1-2.2) = c^-1.2 per channel.
+        # Quad colors from test_geo.ass (Top white, Left warm, Right cool).
+        import numpy as _np
+        cols = _np.array([[1, 1, 1],
+                          [1, 0.871516049, 0.641099632],
+                          [0.778600514, 0.915192127, 1.0]], _np.float32)
+        fac = cols ** (-1.2)
+        scene.quad_lights = base_quads._replace(
+            radiance=base_quads.radiance * jnp.asarray(fac))
     elif tag == "sss0":
         scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
                                    sss_weight=0.0)
