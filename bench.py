@@ -34,6 +34,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Benchmarks run with the persistent compile cache OFF: executables LOADED
+# from the cache run ~7% slower on the axon backend than freshly-compiled
+# ones (measured r4: clearcoat-ON 0.236-0.243 Gs/s cached vs 0.253-0.269
+# fresh; the fused RENDER program is unaffected — 53.3 vs 53.5 s steady —
+# so the repo default keeps the cache for renders/tests). Honor an explicit
+# user override.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
+
 import rlshaders_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS before jax init)
 import jax
 import jax.numpy as jnp
