@@ -848,7 +848,14 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         # receive_shadows off (the shared scene's side walls,
         # test_geo.ass:214): the surface is lit as if unoccluded
         rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
-        sh_o = (vec3.tile(pv, k) + grid.wi * RAY_EPS).aos()
+        # shadow origins offset along the NORMAL as well as the ray: a
+        # wi-only offset leaves grazing segments ~1e-5 above the surface,
+        # where curved geometry (the sphere's grazing bands, the curved
+        # backdrop) self-occludes falsely — measured 0.1-0.55% cos-weighted
+        # per light on the 0004 ball (tools-r4 shadow_offset probe); the
+        # host renderer offsets along Ng the same way
+        sh_o = (vec3.tile(pv, k) + vec3.tile(nfv, k) * RAY_EPS
+                + grid.wi * RAY_EPS).aos()
         sh_d = grid.wi.aos()
         # dead columns (zero pre-shadow contribution, or shadow-exempt
         # receivers) get t_max 0: the trace prepass culls them and the
@@ -906,7 +913,11 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
         # no light hit carry t_max 0 and are nearly free in the kernel.
         sh_t = jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0)
         ex = jnp.tile(surf.tri, nb)
-        trans = _shadow_transmission(sc, static, (o1, d1, sh_t, ex))
+        # normal+ray offset for the shadow segment (see _gen_shade_t); the
+        # GI ray itself keeps the plain wi offset
+        sh_o1 = (vec3.tile(pv, nb) + vec3.tile(nfv, nb) * RAY_EPS
+                 + dV * RAY_EPS).aos()
+        trans = _shadow_transmission(sc, static, (sh_o1, d1, sh_t, ex))
         rcv = jnp.tile(
             sc.geometry.receive_shadows[jnp.maximum(surf.tri, 0)], nb
         )
