@@ -34,13 +34,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Benchmarks run with the persistent compile cache OFF: executables LOADED
-# from the cache run ~7% slower on the axon backend than freshly-compiled
-# ones (measured r4: clearcoat-ON 0.236-0.243 Gs/s cached vs 0.253-0.269
-# fresh; the fused RENDER program is unaffected — 53.3 vs 53.5 s steady —
-# so the repo default keeps the cache for renders/tests). Honor an explicit
-# user override.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
+# The BSDF microbench (the headline) runs with the persistent compile cache
+# OFF: executables LOADED from the cache run ~7% slower on the axon backend
+# than freshly-compiled ones (measured r4: clearcoat-ON 0.236-0.243 Gs/s
+# cached vs 0.253-0.269 fresh). The render/refract CHILD processes keep the
+# cache ON: their fused tile programs are cache-insensitive (53.3 vs 53.5 s
+# steady, docs/perf.md) but cost ~650-750 s to compile cold — r4's bench
+# passed the cache-off env to the children, which then starved inside their
+# subprocess budgets compiling (rc=124, all extras null). Honor an explicit
+# user override in both directions.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.path.join(_REPO, ".jax_cache")
+if any(a in ("--render-bench", "--refract-bench") for a in sys.argv[1:]):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR") == "":
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
+else:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
 
 import rlshaders_tpu  # noqa: F401  (sets LIBTPU_INIT_ARGS before jax init)
 import jax
@@ -218,11 +228,15 @@ def bench_refract():
 def _bench_subprocess(flag: str, budget: int):
     """Run a --<flag> child with a hard timeout so a pathological compile
     can never prevent the headline JSON line from being printed."""
+    env = dict(os.environ)
+    # Children get the persistent compile cache even though this process
+    # runs cache-off (see the header comment): their tile programs are
+    # cache-insensitive and compile-dominated.
+    env["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), flag],
-            capture_output=True, text=True, timeout=budget,
-            env=dict(os.environ),
+            capture_output=True, text=True, timeout=budget, env=env,
         )
         got = json.loads(p.stdout.strip().splitlines()[-1])
         return got["mrays"], got["seconds"]
@@ -247,6 +261,7 @@ from rlshaders_tpu.parallel import mesh as pmesh
 # serial pieces (camera gen, unpack, fetch) the 64x64-aa1 curve measured.
 # skin=False: the SSS stage's compile cost x4 mesh sizes would eat the
 # subprocess budget; SSS-under-shard_map is covered by dryrun_multichip.
+# One JSON line per mesh size so a timeout still yields a partial curve.
 out = {}
 for n in (1, 2, 4, 8):
     mesh = pmesh.make_mesh(n)
@@ -256,14 +271,23 @@ for n in (1, 2, 4, 8):
     t0 = time.perf_counter()
     r = pmesh.render_sharded(scene, accel, mesh, **kw)
     out[str(n)] = time.perf_counter() - t0
-print(json.dumps(out))
+    print(json.dumps(out), flush=True)
 """ % os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
     try:
-        env = dict(os.environ)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
         p = subprocess.run([sys.executable, "-c", code], capture_output=True,
                            text=True, timeout=budget, env=env)
-        times = json.loads(p.stdout.strip().splitlines()[-1])
+        stdout = p.stdout
+    except subprocess.TimeoutExpired as e:  # keep whatever sizes finished
+        stdout = e.stdout or ""
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+    except Exception:
+        return None
+    try:
+        times = json.loads(stdout.strip().splitlines()[-1])
         t1 = times["1"]
         return {k: round(t1 / v, 3) for k, v in times.items()}
     except Exception:
@@ -281,7 +305,10 @@ def main():
     re-emitted last, so the final JSON line on stdout is always the most
     complete one and exists even if an extra dies."""
     t_start = time.perf_counter()
-    total_budget = float(os.environ.get("RLS_BENCH_TOTAL_BUDGET", "2200"))
+    # r4 died at rc=124 with a 2200 s budget: it exceeded the driver's wall
+    # clock. 1500 s fits with margin now that the children load the warm
+    # compile cache (~164 s to first render) instead of compiling cold.
+    total_budget = float(os.environ.get("RLS_BENCH_TOTAL_BUDGET", "1500"))
 
     def remaining():
         return total_budget - (time.perf_counter() - t_start)
@@ -311,16 +338,13 @@ def main():
     extra = result["extra"]
     # Extras in descending value-per-second, each capped by what's left of
     # the total budget (minus a 60 s margin for the final print + teardown).
-    if os.environ.get("RLS_BENCH_SCALING", "1") == "1" and remaining() > 240:
-        extra["scaling_vs_1dev"] = bench_scaling(
-            budget=int(min(float(os.environ.get("RLS_BENCH_SCALING_TIMEOUT",
-                                                "900")),
-                           remaining() - 60)))
-        print(json.dumps(result), flush=True)
+    # The TPU children (render, refract) run first — they load the warm
+    # compile cache; the CPU scaling curve runs last and tolerates a
+    # mid-curve timeout (partial results kept).
     if os.environ.get("RLS_BENCH_RENDER", "1") == "1" and remaining() > 240:
         mrays, seconds = _bench_subprocess(
             "--render-bench",
-            int(min(float(os.environ.get("RLS_BENCH_RENDER_TIMEOUT", "1200")),
+            int(min(float(os.environ.get("RLS_BENCH_RENDER_TIMEOUT", "600")),
                     remaining() - 60)))
         extra["render_mrays_s"] = round(mrays, 3) if mrays else None
         extra["render_seconds"] = round(seconds, 2) if seconds else None
@@ -329,12 +353,18 @@ def main():
         refr_mrays, refr_seconds = _bench_subprocess(
             "--refract-bench",
             int(min(float(os.environ.get("RLS_BENCH_REFRACT_TIMEOUT",
-                                         "1200")),
+                                         "600")),
                     remaining() - 60)))
         extra["refract512_mrays_s"] = (round(refr_mrays, 3)
                                        if refr_mrays else None)
         extra["refract512_seconds"] = (round(refr_seconds, 2)
                                        if refr_seconds else None)
+        print(json.dumps(result), flush=True)
+    if os.environ.get("RLS_BENCH_SCALING", "1") == "1" and remaining() > 180:
+        extra["scaling_vs_1dev"] = bench_scaling(
+            budget=int(min(float(os.environ.get("RLS_BENCH_SCALING_TIMEOUT",
+                                                "600")),
+                           remaining() - 60)))
         print(json.dumps(result), flush=True)
 
 

@@ -199,12 +199,17 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None,
     w_l = (col_nl_a * pdf_l) / jnp.maximum(
         col_nl_a * pdf_l + p_cos, 1e-12) * col_w_a
 
-    p_flat = jnp.broadcast_to(surf_p[:, None, :], (n, k, 3)).reshape(-1, 3)
+    # normal+ray origin offset, same policy as the main grid's shadow rays
+    # (wavefront._gen_shade_t): the wi-only offset falsely self-occludes in
+    # the grazing band; 3*RAY_EPS t_max margin covers the normal offset's
+    # projection along the ray (ADVICE r4)
+    p_off = surf_p + surf_n * RAY_EPS
+    p_flat = jnp.broadcast_to(p_off[:, None, :], (n, k, 3)).reshape(-1, 3)
     ex_flat = jnp.broadcast_to(exclude_tri[:, None], (n, k)).reshape(-1)
     shadowed = tracemod.occluded(
         sc.accel, sc.geometry,
         p_flat + wi.reshape(-1, 3) * RAY_EPS, wi.reshape(-1, 3),
-        dist.reshape(-1) - 2 * RAY_EPS,
+        dist.reshape(-1) - 3 * RAY_EPS,
         vis_mask=VIS_SHADOW, exclude_tri=ex_flat,
     ).reshape(n, k)
 
@@ -252,8 +257,8 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None,
     any_emit = hit_t < 1e30
     b_shadow = tracemod.occluded(
         sc.accel, sc.geometry,
-        surf_p + bdir * RAY_EPS, bdir,
-        jnp.where(any_emit, hit_t, 0.0) - 2 * RAY_EPS,
+        p_off + bdir * RAY_EPS, bdir,
+        jnp.where(any_emit, hit_t, 0.0) - 3 * RAY_EPS,
         vis_mask=VIS_SHADOW, exclude_tri=exclude_tri,
     )
     # f/p_b for a cosine sample of Lambert is exactly 1/pi * cos / (cos/pi) = 1
@@ -262,7 +267,7 @@ def _lambert_direct(sc, static, surf_p, surf_n, exclude_tri, key, sq=None,
     if static.sky_exists and static.sky_w_d != 0.0:
         sky_vis = ~tracemod.occluded(
             sc.accel, sc.geometry,
-            surf_p + bdir * RAY_EPS, bdir, jnp.full((n,), 1e12),
+            p_off + bdir * RAY_EPS, bdir, jnp.full((n,), 1e12),
             vis_mask=VIS_SHADOW, exclude_tri=exclude_tri,
         ) & ~any_emit
         # MIS vs the sky's cosine sampler (identical pdfs -> weight 1/2)

@@ -69,6 +69,20 @@ from . import lights as lightsmod
 
 RAY_EPS = 1e-3
 
+# Transparent-shadow march depth: baked into the jitted tile program at
+# import time (see _shadow_transmission). Read once here so a later env
+# change cannot silently diverge from the compiled program, and validated
+# so a bad value fails at import, not at trace time.
+try:
+    _SHADOW_HITS = int(os.environ.get("RLS_SHADOW_HITS", "4"))
+except ValueError as e:
+    raise ValueError(
+        "RLS_SHADOW_HITS must be an integer (transparent-shadow march "
+        "depth); got %r" % os.environ.get("RLS_SHADOW_HITS")
+    ) from e
+if _SHADOW_HITS < 1:
+    raise ValueError("RLS_SHADOW_HITS must be >= 1; got %d" % _SHADOW_HITS)
+
 
 class DeviceScene(NamedTuple):
     """The traced-argument scene: every leaf is a device array. Passed to
@@ -560,11 +574,14 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
 
     DOCUMENTED DIVERGENCE from Arnold: the host's transparent-shadow chain
     is unbounded (it marches until opaque or the segment ends), ours is a
-    static unroll of RLS_SHADOW_HITS nearest queries — a scene with more
+    static unroll of _SHADOW_HITS nearest queries — a scene with more
     than that many STACKED transparent surfaces between a shading point
     and a light darkens (the 5th+ surfaces count as opaque). The testsuite
-    scenes max out at 2 (glass sphere front/back); raise the env knob for
-    deeper glass stacks (compile time scales with the unroll)."""
+    scenes max out at 2 (glass sphere front/back); raise RLS_SHADOW_HITS
+    for deeper glass stacks (compile time scales with the unroll). The knob
+    is read ONCE at module import (it is baked into the jitted tile
+    program, not part of the jit cache key): set it before importing
+    rlshaders_tpu, in a fresh process."""
     o, d, tmax, ex = sh
     if not static.has_transparent:
         blocked = tracemod.occluded(
@@ -573,8 +590,7 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
         )
         vis = (~blocked).astype(jnp.float32)
         return V3(vis, vis, vis)
-    import os as _os
-    n_hits = int(_os.environ.get("RLS_SHADOW_HITS", "4"))
+    n_hits = _SHADOW_HITS
     mats = sc.materials
     one = jnp.ones(o.shape[0], jnp.float32)
     atten = V3(one, one, one)
@@ -721,9 +737,14 @@ def _spec_direct_t(sc, static, surf, pv, matv, frame, wo, key, lobes) -> V3:
             t_light = jnp.where(take, tq, t_light)
         w_over_pdf = vec3.where(ok, f / jnp.maximum(pdf, 1e-9), 0.0)
         any_emit = vec3.maxc(emit) > 0.0
+        # Same normal+direction origin offset as _gen_shade_t/_family_t
+        # (grazing-band false self-occlusion, ADVICE r4); 3*RAY_EPS t_max
+        # margin so the segment ends in front of the light plane even when
+        # the normal offset projects along the ray at grazing incidence.
         blocked = tracemod.occluded(
-            sc.accel, sc.geometry, (pv + wi_w * RAY_EPS).aos(), wi_w.aos(),
-            jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0),
+            sc.accel, sc.geometry,
+            (pv + frame.n * RAY_EPS + wi_w * RAY_EPS).aos(), wi_w.aos(),
+            jnp.where(t_light < 1e30, t_light - 3 * RAY_EPS, 0.0),
             vis_mask=VIS_SHADOW, exclude_tri=surf.tri,
         )
         lit = ok & any_emit & ~blocked
@@ -859,8 +880,11 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
         sh_d = grid.wi.aos()
         # dead columns (zero pre-shadow contribution, or shadow-exempt
         # receivers) get t_max 0: the trace prepass culls them and the
-        # dead-ray sort key compacts them into skipped blocks
-        sh_t = jnp.where(live & rcv, grid.dist - 2 * RAY_EPS, 0.0)
+        # dead-ray sort key compacts them into skipped blocks. 3*RAY_EPS
+        # margin: the origin's normal offset can project up to RAY_EPS
+        # along the ray at grazing incidence, so 2*RAY_EPS alone could let
+        # the segment reach past the light plane (ADVICE r4).
+        sh_t = jnp.where(live & rcv, grid.dist - 3 * RAY_EPS, 0.0)
         sh_ex = jnp.tile(surf.tri, k)
         shadowed = _shadow_transmission(sc, static, (sh_o, sh_d, sh_t, sh_ex))
         shadowed = vec3.where(rcv, shadowed, 1.0)
@@ -911,7 +935,7 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
         # geometry hit — shadow-invisible geometry in front of a light (the
         # shared scene's side walls) must not kill the emission. Lanes with
         # no light hit carry t_max 0 and are nearly free in the kernel.
-        sh_t = jnp.where(t_light < 1e30, t_light - 2 * RAY_EPS, 0.0)
+        sh_t = jnp.where(t_light < 1e30, t_light - 3 * RAY_EPS, 0.0)
         ex = jnp.tile(surf.tri, nb)
         # normal+ray offset for the shadow segment (see _gen_shade_t); the
         # GI ray itself keeps the plain wi offset

@@ -57,7 +57,9 @@ valid = ~wm if (wm is not None and wm.shape == ref.shape[:2]) else np.ones(
 
 
 def render_variant(tag, scene_v):
-    path = f"out/comp_{tag}_{case}.npy"
+    # passes/aa are part of the cache name so --skip-render can never mix
+    # images accumulated at different sampling configs (ADVICE r4)
+    path = f"out/comp_{tag}_{case}_p{args.passes}aa{args.aa}.npy"
     if args.skip_render and os.path.exists(path):
         return np.load(path)
     t0 = time.time()
