@@ -80,15 +80,19 @@ def use_pallas() -> bool:
 
 
 def nearest(accel: Accel, geometry, o, d, vis_mask: int, exclude_tri=None,
-            t_eps: float = 1e-4) -> bvhmod.Hit:
+            t_eps: float = 1e-4, t_max=None) -> bvhmod.Hit:
+    """t_max (optional, per-ray): hits beyond it are ignored; lanes with
+    t_max <= 0 are DEAD and compact into skipped blocks on the Pallas path
+    (Russian-roulette kills, ops/intersect_pallas._sort_rays)."""
     if use_pallas():
         t, tri, u, v = ip.intersect(
-            accel.packed, o, d, exclude_tri=exclude_tri, vis_mask=vis_mask,
-            t_eps=t_eps,
+            accel.packed, o, d, t_max=t_max, exclude_tri=exclude_tri,
+            vis_mask=vis_mask, t_eps=t_eps,
         )
         return bvhmod.Hit(t=t, tri=tri, u=u, v=v)
     return bvhmod.intersect(
         accel.tree, geometry.v0, geometry.e1, geometry.e2, o, d,
+        t_max=(1e30 if t_max is None else t_max),
         exclude_tri=exclude_tri, vis_mask=vis_mask,
         tri_visibility=geometry.visibility, t_eps=t_eps,
     )

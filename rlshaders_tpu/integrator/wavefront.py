@@ -108,6 +108,26 @@ class DeviceScene(NamedTuple):
     #                        shape (1,) NOT () — rank-0 jit params land in
     #                        host memory S(6) and cost a per-use DMA on the
     #                        axon backend, docs/perf.md)
+    mis_nb_light: jnp.ndarray  # (1,) scale on the BSDF-strategy count the
+    #                        LIGHT-side MIS weight competes against
+    #                        (probe: Arnold-4 may balance each light sample
+    #                        against 1 BSDF sample, not GI_*_samples^2 —
+    #                        an inconsistent-count MIS double-counts the
+    #                        strategy-overlap region, a bias the goldens
+    #                        would bake in). 1.0 = consistent (ours).
+    mis_nl_pickup: jnp.ndarray  # (1,) scale on the light-sample count the
+    #                        BSDF-side pickup weight competes against at
+    #                        camera level (the dual mismatch). 1.0 = ours.
+    mis_renorm: jnp.ndarray  # (1,) 0..1 blend toward Arnold-4 valid-sample
+    #                        renormalization of the BSDF-strategy estimator:
+    #                        the host zeroes below-hemisphere evalSample
+    #                        directions (rlGgx.h evalBrdf's AI_V3_ZERO guard
+    #                        exists because Arnold passes them) and the
+    #                        hypothesis (docs/fidelity.md r4) is that it
+    #                        divides by the VALID-sample count, gaining
+    #                        energy exactly where VNDF misses are common
+    #                        (grazing-Fresnel content). Traced so the
+    #                        base/variant probe shares one compiled program.
 
 
 class SceneStatic(NamedTuple):
@@ -199,6 +219,17 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
         ),
         tex_aniso_alpha=jnp.full(
             (1,), float(os.environ.get("RLS_TEX_ANISO_ALPHA", "0.5")),
+            jnp.float32,
+        ),
+        mis_renorm=jnp.full(
+            (1,), float(os.environ.get("RLS_MIS_RENORM", "0.0")), jnp.float32
+        ),
+        mis_nb_light=jnp.full(
+            (1,), float(os.environ.get("RLS_MIS_NB_LIGHT", "1.0")),
+            jnp.float32,
+        ),
+        mis_nl_pickup=jnp.full(
+            (1,), float(os.environ.get("RLS_MIS_NL_PICKUP", "1.0")),
             jnp.float32,
         ),
     ))
@@ -419,7 +450,8 @@ def _light_grid(sc: DeviceScene, static: SceneStatic, pv: V3, nfv: V3, key,
 
 
 def _direct_eval(matv, frame, wo_local: V3, grid: LightGrid,
-                 nb_diffuse, nb_glossy, sky_nb_d=None, sky_nb_g=None):
+                 nb_diffuse, nb_glossy, sky_nb_d=None, sky_nb_g=None,
+                 nb_scale=None):
     """Pre-shadow MIS-weighted per-column light contributions.
 
     Returns (contrib_d V3, contrib_s V3, live bool), all flat (N*k,):
@@ -468,6 +500,9 @@ def _direct_eval(matv, frame, wo_local: V3, grid: LightGrid,
     nbg_r = jnp.repeat(
         jnp.where(grid.is_sky > 0.5, float(sky_nb_g), float(nb_glossy)), n
     )
+    if nb_scale is not None:  # MIS count-convention probe (sc.mis_nb_light)
+        nbd_r = nbd_r * nb_scale
+        nbg_r = nbg_r * nb_scale
     wl_d = lightsmod.mis_weight(nl_r * grid.pdf, nbd_r * pd)
     wl_s = lightsmod.mis_weight(nl_r * grid.pdf, nbg_r * ps)
     contrib_d = grid.rad * (inv_pdf * wl_d * w_d_r) * fd
@@ -501,6 +536,8 @@ def _light_pickup(sc, static, o: V3, d: V3, lobe_pdf, nb,
         if fac == 0.0:
             continue
         nl = static.quad_samples[li] ** 2 if camera_level else 1
+        if camera_level:  # MIS count-convention probe (sc.mis_nl_pickup)
+            nl = nl * sc.mis_nl_pickup[0]
         hit, t = lightsmod.intersect_quad_flat(ql.verts[li], ql.normal[li], o, d)
         nlv = ql.normal[li]
         cos_l = jnp.abs(vec3.dot(d, V3(nlv[0], nlv[1], nlv[2])))
@@ -518,6 +555,8 @@ def _light_pickup(sc, static, o: V3, d: V3, lobe_pdf, nb,
         if fac == 0.0:
             continue
         nl = static.disk_samples[li] ** 2 if camera_level else 1
+        if camera_level:
+            nl = nl * sc.mis_nl_pickup[0]
         hit, t = lightsmod.intersect_disk_flat(
             dl.center[li], dl.u[li], dl.v[li], dl.normal[li], o, d
         )
@@ -656,12 +695,24 @@ def _spawn(sc, static, surf, pv, matv, frame, wo, key, lobe, nb,
         active = matv.has_spec
     frame_b = _tile_frame(frame, nb)
     wi_w = to_world_v(frame_b, wi_l)
+    att = jnp.tile(active & surf.valid, nb) & (wo_b.z > 1e-4)
     ok = (
-        jnp.tile(active & surf.valid, nb)
+        att
         & (wi_l.z > 1e-5) & (pdf > 1e-9)
-        & (wo_b.z > 1e-4)  # grazing-config guard (see _spec_direct_t)
     )
     w = vec3.where(ok, f / jnp.maximum(pdf, 1e-9), 0.0)
+    if nb > 1:
+        # Arnold-4 valid-sample renormalization probe (sc.mis_renorm 0..1):
+        # the host zeroes below-hemisphere evalSample directions and — per
+        # the r4 fidelity hypothesis — divides the BSDF-strategy estimate
+        # by the VALID count, not the drawn count. Blend the per-hit factor
+        # nb/max(valid,1) in by mis_renorm so one compiled program serves
+        # both semantics. nb==1 is a no-op (w is already 0 on invalid
+        # lanes), so the secondary-hit families skip the bookkeeping.
+        n_valid = ok.reshape(nb, n).sum(0).astype(jnp.float32)
+        renorm = nb / jnp.maximum(n_valid, 1.0)
+        scale = 1.0 + sc.mis_renorm[0] * (renorm - 1.0)
+        w = w * jnp.tile(scale, nb)
     o = vec3.tile(pv, nb) + wi_w * RAY_EPS
     return o, wi_w, w, jnp.where(ok, pdf, 0.0), ok
 
@@ -769,6 +820,13 @@ class RenderConf(NamedTuple):
     n_sub: int  # AA samples per pixel (aa^2): the SampleCtx lane decode
     ff_shade: bool  # faceforward by ns·d instead of the geometric side
     use_sobol: bool  # per-pixel Owen-Sobol streams (RLS_SOBOL=0 ablates)
+    rr_refr_start: int = 99  # Russian-roulette start depth on the
+    #   refraction chain (SURVEY §7 integrator list; BASELINE config #2):
+    #   at refraction depth >= this, each continuation survives with
+    #   p = clamp(max-channel of its Eq.41*Kt weight, 0.05, 1) and is
+    #   reweighted 1/p — unbiased early termination of deep glass chains.
+    #   Default 99 = off: the reference has no RR and the golden gate
+    #   compares equal-sample noise (env RLS_RR_START enables).
 
 
 class SSSIn(NamedTuple):
@@ -865,7 +923,8 @@ def _gen_shade_t(sc, static, conf, o, d, key, vis, camera_level,
             sky_nb_d = 1 if cont_d else 0
             sky_nb_g = 1 if cont_g else 0
         contrib_d, contrib_s, live = _direct_eval(
-            matv, frame, wo, grid, nb_d, nb_g, sky_nb_d, sky_nb_g)
+            matv, frame, wo, grid, nb_d, nb_g, sky_nb_d, sky_nb_g,
+            nb_scale=(sc.mis_nb_light[0] if camera_level else None))
         # receive_shadows off (the shared scene's side walls,
         # test_geo.ass:214): the surface is lit as if unoccluded
         rcv = jnp.tile(sc.geometry.receive_shadows[jnp.maximum(tri, 0)], k)
@@ -956,9 +1015,13 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
 
 
 def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb,
-            ctx: SampleCtx = None):
+            ctx: SampleCtx = None, rrf: int = 0):
     """Rough-refraction spawn (Walter Eq.41 weights) + trace. Sample-major
-    flat layout like _spawn."""
+    flat layout like _spawn. At refraction depth rrf >= conf.rr_refr_start,
+    Russian roulette terminates low-weight continuations unbiasedly
+    (survive with p = clamp(maxc(weight), 0.05, 1), reweight 1/p); killed
+    lanes carry zero weight and a zero trace t_max so the trace kernel's
+    dead-ray compaction skips them (ops/intersect_pallas._sort_rays)."""
     n = pv.x.shape[0]
     if ctx is not None:
         u = rng.sobol2_flat(ctx.pix, ctx.aa, nb, P_REFRACT, ctx.salt)
@@ -968,12 +1031,20 @@ def _refr_t(sc, static, conf, surf, pv, matv, frame, wo, key, nb,
     wo_b = vec3.tile(wo, nb)
     wi_l, wgt = dispatch.sample_refract(matv_b, wo_b, u[:, 0], u[:, 1])
     ok = jnp.tile(surf.valid & matv.has_refract, nb)
+    t_max = None
+    if rrf >= conf.rr_refr_start:
+        p_surv = jnp.clip(vec3.maxc(wgt), 0.05, 1.0)
+        u_rr = jax.random.uniform(rng.fold(key, 777), (n * nb,))
+        survive = u_rr < p_surv
+        wgt = wgt * jnp.where(survive, 1.0 / p_surv, 0.0)
+        ok = ok & survive
+        t_max = jnp.where(ok, 1e30, 0.0)
     frame_b = _tile_frame(frame, nb)
     wi_w = to_world_v(frame_b, wi_l)
     o1 = (vec3.tile(pv, nb) + wi_w * RAY_EPS).aos()
     d1 = wi_w.aos()
     hit = tracemod.nearest(sc.accel, sc.geometry, o1, d1,
-                           vis_mask=VIS_REFRACTED)
+                           vis_mask=VIS_REFRACTED, t_max=t_max)
     return (
         o1, d1, vec3.where(ok, wgt, 0.0), ok,
         (hit.t, hit.tri, hit.u, hit.v),
@@ -1098,7 +1169,8 @@ def _shade_generation_t(sc, static, conf, o, d, key, vis, camera_level,
     if (rrf < conf.gi_refraction_depth and rt < conf.gi_total_depth
             and static.has_refract):
         o2, d2, wgt, ok, tp2 = _refr_t(
-            sc, static, conf, surf, pv, matv, frame, wo, rng.fold(key, 900), 1
+            sc, static, conf, surf, pv, matv, frame, wo, rng.fold(key, 900),
+            1, rrf=rrf + 1,
         )
         sub_pack = _shade_generation_t(
             sc, static, conf, o2, d2, rng.fold(key, 33), VIS_REFRACTED,
@@ -1193,7 +1265,7 @@ def _j_tile(sc, static, conf, origin_full, direction_full, pixel_full,
     if conf.nb_r:
         o1, d1, wgt, ok, tp1 = _refr_t(
             sc, static, conf, surf0, pv0, matv0, frame0, wo0,
-            rng.fold(key, 3), conf.nb_r, ctx=ctx,
+            rng.fold(key, 3), conf.nb_r, ctx=ctx, rrf=1,
         )
         _, sub_rgb, _, _ = _shade_generation_t(
             sc, static, conf, o1, d1, rng.fold(key, 13), VIS_REFRACTED,
@@ -1266,6 +1338,7 @@ class TileRenderer:
             n_sub=aa_samples * aa_samples,
             ff_shade=os.environ.get("RLS_FACEFORWARD", "shade") == "shade",
             use_sobol=os.environ.get("RLS_SOBOL", "1") == "1",
+            rr_refr_start=int(os.environ.get("RLS_RR_START", "99")),
         )
         self.nb_d, self.nb_g, self.nb_r = (
             self.conf.nb_d, self.conf.nb_g, self.conf.nb_r

@@ -896,3 +896,40 @@ def test_refraction_closure_vs_brute(tmp_path):
     brute = float(total.mean() / R)
     ratio = wf / brute
     assert 0.97 < ratio < 1.03, (wf, brute, ratio)
+
+
+def test_refraction_russian_roulette_unbiased(tmp_path):
+    """Russian roulette on the refraction chain (RenderConf.rr_refr_start,
+    SURVEY §7 integrator list) must be an unbiased variance/work trade:
+    the glass-slab scene's converged mean with RR from depth 2 matches the
+    no-RR mean within MC tolerance, and the RR render stays finite."""
+    import importlib
+    import numpy as np
+
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.integrator import wavefront
+    from rlshaders_tpu.scene import build as buildmod
+
+    p = os.path.join(str(tmp_path), "scene.ass")
+    with open(p, "w") as f:
+        f.write(SCENE_GLASS_SLAB)
+    scene = buildmod.build(p)
+    accel = tracemod.build(scene.geometry)
+
+    def mean_of(rr_start, passes=6):
+        os.environ["RLS_RR_START"] = str(rr_start)
+        try:
+            acc = 0.0
+            for s in range(passes):
+                out = wavefront.render(scene, accel, tile_pixels=512,
+                                       seed=500 + s)
+                img = np.asarray(out["RGBA"], np.float32)
+                assert np.isfinite(img).all()
+                acc += float(img.mean())
+            return acc / passes
+        finally:
+            os.environ.pop("RLS_RR_START", None)
+
+    base = mean_of(99)
+    rr = mean_of(2)
+    assert abs(rr - base) / max(base, 1e-9) < 0.04, (base, rr)

@@ -58,3 +58,35 @@ def test_sharded_shade_step_two_axis_mesh():
     out = np.asarray(jax.block_until_ready(out))
     assert out.shape == (64, 3)
     assert np.all(np.isfinite(out))
+
+
+@pytest.mark.slow
+def test_sharded_real_testsuite_scene_with_sss():
+    """A REAL testsuite scene (0009, rlSkin: two GGX lobes + SSS probe
+    stage) through the sharded pipeline: sharded == single-device on the
+    8-CPU mesh. Covers SSS-under-shard_map on real geometry — previously
+    only the procedural dryrun scene exercised it (VERDICT r4 #7)."""
+    import os
+
+    from rlshaders_tpu.accel import trace as tracemod
+    from rlshaders_tpu.scene import build as buildmod
+
+    path = ("/root/reference/testsuite/mtoa/0009/data/"
+            "skin_probe_sampling.ass")
+    if not os.path.exists(path):
+        pytest.skip("reference testsuite not present")
+    scene = buildmod.build(path)
+    # canary-style reductions: structure is what's under test, not noise
+    scene.options.gi_diffuse_samples = 1
+    scene.options.gi_glossy_samples = 1
+    scene.options.gi_sss_samples = 2
+    accel = tracemod.build(scene.geometry)
+    kw = dict(tile_pixels=256, aa_samples=1, xres=32, yres=32)
+    ref = wavefront.render(scene, accel, **kw)
+    mesh = pmesh.make_mesh(8)
+    out = pmesh.render_sharded(scene, accel, mesh, **kw)
+    a = np.asarray(ref["RGBA"], np.float32)
+    b = np.asarray(out["RGBA"], np.float32)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert a.max() > 0.0
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-5)
