@@ -221,8 +221,14 @@ def device_scene(scene: Scene, accel) -> DeviceScene:
             (1,), float(os.environ.get("RLS_TEX_ANISO_ALPHA", "0.5")),
             jnp.float32,
         ),
+        # Default ON (r5): replicates the Arnold-host valid-sample
+        # renormalization the goldens bake in — measured recovery ordered
+        # exactly by each lobe's below-horizon VNDF miss share (gold
+        # +1.7%, metal +1.0%, diffuse ball ~0), no region harmed; with the
+        # dome shadow-visibility fix the specular balls land within +-0.4%
+        # of the goldens (docs/fidelity.md r5). RLS_MIS_RENORM=0 ablates.
         mis_renorm=jnp.full(
-            (1,), float(os.environ.get("RLS_MIS_RENORM", "0.0")), jnp.float32
+            (1,), float(os.environ.get("RLS_MIS_RENORM", "1.0")), jnp.float32
         ),
         mis_nb_light=jnp.full(
             (1,), float(os.environ.get("RLS_MIS_NB_LIGHT", "1.0")),
@@ -571,8 +577,20 @@ def _light_pickup(sc, static, o: V3, d: V3, lobe_pdf, nb,
     return out, t_light
 
 
-def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, miss, lobe_pdf, nb,
+def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, vis: V3, lobe_pdf, nb,
                 lobe="specular", full_weight=False) -> V3:
+    """Dome radiance picked up by BSDF-family directions.
+
+    `vis` is the SHADOW-ray transmission along the family direction (V3;
+    1 = dome fully visible). Arnold-4 light semantics: the dome's BSDF-side
+    strategy is a shadow query, so shadow-INVISIBLE geometry — the shared
+    scene's wall bounce-cards, visibility 253 — passes dome light even
+    though the GI ray itself stops at the wall. Gating on the GI ray's miss
+    instead (the pre-r5 behavior) silently dropped ALL dome energy in
+    wall-covered directions: measured 38% of the 0001 ball's indirect and
+    the flat -2% on every shared-scene Lambert region (tools/oracle_band.py,
+    docs/fidelity.md r5). The r4 quad-pickup fix is the same semantic for
+    area lights."""
     zero = jnp.zeros_like(lobe_pdf)
     if not static.sky_exists:
         return V3(zero, zero, zero)
@@ -587,7 +605,7 @@ def _sky_pickup(sc, static, nf_at_origin: V3, d: V3, miss, lobe_pdf, nb,
         p_l = lightsmod.pdf_sky_v(nf_at_origin, d)
         w = lightsmod.mis_weight(nb * lobe_pdf, 1.0 * p_l)
     sky = sc.sky_radiance
-    return V3(sky[0], sky[1], sky[2]) * jnp.where(miss, fac * w, 0.0)
+    return V3(sky[0], sky[1], sky[2]) * vis * (fac * w)
 
 
 def _quad_lobe_factor(static, li, lobe):
@@ -637,9 +655,14 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
     remaining = tmax
     exclude = ex
     for _ in range(n_hits):
+        # t_max = remaining: the kernel's front-to-back early break stops
+        # at the segment end, and lanes whose segment is exhausted (or was
+        # dead on entry) carry t_max <= 0 and compact into skipped blocks —
+        # march rounds 2..n are near-free for completed lanes.
         hit = tracemod.nearest(
             sc.accel, sc.geometry, origin, d,
             vis_mask=VIS_SHADOW, exclude_tri=exclude,
+            t_max=jnp.maximum(remaining, 0.0),
         )
         ok = (hit.tri >= 0) & (hit.t < remaining)
         tri = jnp.maximum(hit.tri, 0)
@@ -652,9 +675,12 @@ def _shadow_transmission(sc: DeviceScene, static: SceneStatic, sh) -> V3:
         atten = atten * vec3.where(ok, trans, 1.0)
         step = jnp.where(ok, hit.t + 2 * RAY_EPS, remaining)
         origin = origin + d * step[..., None]
-        remaining = remaining - step
+        # fully-attenuated lanes stop marching (their remaining -> 0 kills
+        # the next round's trace via the dead-lane sort key)
+        remaining = jnp.where(
+            vec3.maxc(atten) > 1e-4, remaining - step, 0.0
+        )
         exclude = jnp.where(ok, hit.tri, -1)
-        # early out handled by masking; atten==0 lanes waste work only
     return atten
 
 
@@ -1009,7 +1035,29 @@ def _family_t(sc, static, conf, surf, pv, nfv, matv, frame, wo, key, lobe,
     else:
         pick = emit
     sky_full = cam_pickup and static.nb_d > 0 and static.nb_g > 0
-    pick = pick + _sky_pickup(sc, static, nf_rep, dV, hit.tri < 0, pdf1,
+    sky_fac = static.sky_w_d if lobe == "diffuse" else static.sky_w_s
+    if static.sky_exists and sky_fac != 0.0:
+        # dome visibility along the family direction is a SHADOW query
+        # (see _sky_pickup): miss lanes are trivially visible; lanes whose
+        # nearest hit blocks shadow rays (shadow-visible AND opaque) are
+        # trivially blocked; only lanes hitting shadow-invisible or
+        # non-opaque geometry (the wall bounce-cards, the logo plane) need
+        # the trace — all other lanes carry t_max 0 and compact away.
+        miss = hit.tri < 0
+        htc = jnp.maximum(hit.tri, 0)
+        passes = ((sc.geometry.visibility[htc] & VIS_SHADOW) == 0) | (
+            ~sc.geometry.opaque[htc].astype(bool))
+        maybe = ~miss & passes
+        sky_t = jnp.where(maybe, 1e12, 0.0)
+        sky_o = (vec3.tile(pv, nb) + vec3.tile(nfv, nb) * RAY_EPS
+                 + dV * RAY_EPS).aos()
+        trans_sky = _shadow_transmission(
+            sc, static, (sky_o, d1, sky_t, jnp.tile(surf.tri, nb)))
+        sky_vis = vec3.where(miss, 1.0, vec3.where(maybe, trans_sky, 0.0))
+    else:
+        one = jnp.ones_like(pdf1)
+        sky_vis = V3(one, one, one)
+    pick = pick + _sky_pickup(sc, static, nf_rep, dV, sky_vis, pdf1,
                               nb, lobe=lobe, full_weight=sky_full)
     return o1, d1, w1, pick, (hit.t, hit.tri, hit.u, hit.v)
 

@@ -43,6 +43,19 @@ KNOBS = {
     "nlp": {"RLS_MIS_NL_PICKUP": "0.1111111"},
 }
 
+
+def scene_variant(scene, tag):
+    """Table-edit variants (traced: no recompile). skyNNN = dome radiance
+    x N.NN — the r5 region-mean inversion implies Arnold's effective dome
+    is ~1.15x our color*intensity*2^exposure table on every shared-scene
+    region (docs/fidelity.md r5)."""
+    import jax.numpy as jnp
+    for part in tag.split("+"):
+        if part.startswith("sky") and part[3:].isdigit():
+            f = float(part[3:]) / 100.0
+            scene.sky = scene.sky._replace(radiance=scene.sky.radiance * f)
+    return scene
+
 import numpy as np
 
 import rlshaders_tpu  # noqa: F401
@@ -103,12 +116,16 @@ for case in args.cases.split(","):
     ball_m, bands = ball_bands(mid, names)
     print(f"== case {case}  materials: {names}", flush=True)
 
+    base_sky = scene.sky
     for tag in args.variants.split(","):
         for env in ("RLS_MIS_RENORM", "RLS_MIS_NB_LIGHT",
                     "RLS_MIS_NL_PICKUP"):
             os.environ.pop(env, None)
+        scene.sky = base_sky
         for part in tag.split("+"):
-            os.environ.update(KNOBS[part])
+            if part in KNOBS:
+                os.environ.update(KNOBS[part])
+        scene = scene_variant(scene, tag)
         t0 = time.time()
         acc = None
         for s in range(args.passes):

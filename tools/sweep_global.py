@@ -101,6 +101,19 @@ def variant(tag):
     elif tag == "sss0":
         scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
                                    sss_weight=0.0)
+    elif tag == "ks0":
+        # logo Ks (projection-alpha-driven spec lobe) off: isolates the
+        # non-SSS logo bias between the ON-sigma1 diffuse and the Ks lobe
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   ks=0.0)
+    elif tag == "sss0ks0":
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   sss_weight=0.0, ks=0.0)
+    elif tag == "sss0dr0":
+        # logo Oren-Nayar sigma 1 -> 0 (Lambert), SSS off: measures our
+        # ON-sigma1 level on the only camera-visible sigma=1 surface
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   sss_weight=0.0, diffuse_roughness=0.0)
 
 
 def render_mean(tag):
