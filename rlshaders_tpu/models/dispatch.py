@@ -159,13 +159,16 @@ def gather(
             kd_scale = _proj_uv_scale_table(mats.kd_proj_inv)[mat_id]
             fpu = jnp.where(is_proj, fp * kd_scale, fp_uv)
         lod = compute_lod(tex, g.kd_tex, fpu, lod_bias)
-    tex_raw = _degamma(
-        sample_smart_bicubic(tex, g.kd_tex, uv, lod), tex_gamma
-    )
-    # Maya file-node color balance: tex*gain + offset, with the node's
-    # `invert` flag already folded into (gain, offset) by scene/build.py
-    # (invert on => gain' = -gain, offset' = gain + offset; e.g. the logo
-    # projection's file66 resolves to 2 - tex).
+    tex_store = sample_smart_bicubic(tex, g.kd_tex, uv, lod)
+    # Maya file-node `invert` applies in STORAGE space, BEFORE the
+    # texture_gamma decode (measured against the goldens' logo glyph:
+    # (1-c_s)^2.2 + offset = 1.736, not 2 - c_lin = 1.99; scene/build.py
+    # kd_tex_invs). Inversion commutes with the storage-space filtering.
+    inv = g.kd_tex_invs
+    tex_store = vec3.where(inv, 1.0 - tex_store, tex_store)
+    tex_raw = _degamma(tex_store, tex_gamma)
+    # Maya file-node color balance: gain/offset in linear space after the
+    # decode (the r2 backdrop calibration path, unchanged for invert-off).
     tex_color = tex_raw * v3(g.kd_tex_gain) + v3(g.kd_tex_offset)
     tex_color = vec3.where(in_coverage, tex_color, v3(g.kd_proj_default))
     tex_color = vec3.where(g.kd_tex >= 0, tex_color, 1.0)

@@ -69,6 +69,11 @@ class Materials(NamedTuple):
     kd_tex: jnp.ndarray         # (M,) int32 texture id or -1
     kd_tex_gain: jnp.ndarray    # (M, 3) MayaFile colorGain
     kd_tex_offset: jnp.ndarray  # (M, 3) MayaFile colorOffset
+    kd_tex_invs: jnp.ndarray    # (M,) bool: MayaFile `invert` — applied in
+    #   STORAGE space before the texture_gamma decode (measured r5: the
+    #   goldens' logo glyph diffuse multiplier is (1-c_s)^2.2 + offset
+    #   = 1.736, not the linear-space fold's 2 - c_lin = 1.99; the
+    #   non-inverted backdrop chain is unaffected, docs/fidelity.md)
     kd_proj: jnp.ndarray        # (M,) 0 = mesh uv, 1 = planar projection
     kd_proj_inv: jnp.ndarray    # (M, 4, 4) inverse placement matrix
     kd_proj_default: jnp.ndarray  # (M, 3) color outside projection coverage
@@ -313,6 +318,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         "tex_id": -1,
         "gain": np.ones(3, np.float32),
         "offset": np.zeros(3, np.float32),
+        "invs": False,
         "proj": 0,
         "proj_inv": np.eye(4, dtype=np.float32),
         "proj_default": np.full(3, 0.5, np.float32),
@@ -374,20 +380,21 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
         if node.type != "MayaFile":
             return dict(_no_tex)
         tex_id = _load_texture_slot(node.get("filename", ""))
-        # Maya file node color balance: color = inv(tex) * colorGain +
-        # colorOffset where inv(tex) = 1 - tex when `invert` is on (Maya
-        # applies invert BEFORE gain/offset). The invert folds into the
-        # affine pair: gain' = -gain, offset' = gain + offset. The testsuite
-        # renders were produced with texture_gamma decoding the FILE only;
-        # gain/offset apply in linear space.
+        # Maya file node color balance: color = decode(inv(tex)) * colorGain
+        # + colorOffset. `invert` (1 - tex) applies in STORAGE space BEFORE
+        # the texture_gamma decode — measured against the goldens (r5): the
+        # logo glyph's diffuse multiplier is (1 - c_storage)^2.2 + 1 =
+        # 1.736, not the linear-space fold's 2 - c_linear = 1.99 (which
+        # overshot the glyph +15%) nor a clamped 1.0 (-45%). Gain/offset
+        # then apply in linear space (the non-inverted backdrop chain,
+        # calibrated in r2, is unchanged).
         gain = _gamma_rgb(node.get("colorGain", 1.0), 1.0)
         offset = _gamma_rgb(node.get("colorOffset", 0.0), 1.0)
-        if bool(node.get("invert", False)):
-            gain, offset = -gain, gain + offset
         return {
             "tex_id": tex_id,
             "gain": gain,
             "offset": offset,
+            "invs": bool(node.get("invert", False)),
             "proj": 0,
             "proj_inv": np.eye(4, dtype=np.float32),
             "proj_default": np.full(3, 0.5, np.float32),
@@ -444,6 +451,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             "kd_color": np.ones(3, np.float32), "kd": 0.0, "kd_tex": -1,
             "kd_tex_gain": np.ones(3, np.float32),
             "kd_tex_offset": np.zeros(3, np.float32),
+            "kd_tex_invs": False,
             "kd_proj": 0, "kd_proj_inv": np.eye(4, dtype=np.float32),
             "kd_proj_default": np.full(3, 0.5, np.float32),
             "diffuse_roughness": 0.0,
@@ -473,6 +481,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             row.update(
                 mtype=MAT_GGX,
                 kd_color=kd_c, kd_tex=kd_t["tex_id"], kd_tex_gain=kd_t["gain"],
+                kd_tex_invs=kd_t["invs"],
                 kd_tex_offset=kd_t["offset"], kd_proj=kd_t["proj"],
                 kd_proj_inv=kd_t["proj_inv"], kd_proj_default=kd_t["proj_default"],
                 kd=fnum(node.get("Kd", 0.5)),
@@ -492,6 +501,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             row.update(
                 mtype=MAT_DISNEY,
                 kd_color=base_c, kd_tex=kd_t["tex_id"], kd_tex_gain=kd_t["gain"],
+                kd_tex_invs=kd_t["invs"],
                 kd_tex_offset=kd_t["offset"], kd_proj=kd_t["proj"],
                 kd_proj_inv=kd_t["proj_inv"], kd_proj_default=kd_t["proj_default"],
                 subsurface=fnum(node.get("subsurface", 0.0)),
@@ -545,6 +555,7 @@ def build(path_or_nodes, base_dir: str | None = None) -> Scene:
             row.update(
                 mtype=MAT_STANDARD,
                 kd_color=kd_c, kd_tex=kd_t["tex_id"], kd_tex_gain=kd_t["gain"],
+                kd_tex_invs=kd_t["invs"],
                 kd_tex_offset=kd_t["offset"], kd_proj=kd_t["proj"],
                 kd_proj_inv=kd_t["proj_inv"], kd_proj_default=kd_t["proj_default"],
                 kd=fnum(node.get("Kd", 0.7)),

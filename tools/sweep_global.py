@@ -114,6 +114,27 @@ def variant(tag):
         # ON-sigma1 level on the only camera-visible sigma=1 surface
         scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
                                    sss_weight=0.0, diffuse_roughness=0.0)
+    elif tag == "sss0white":
+        # file66 is invert+colorOffset(1): our linear chain gives
+        # Kd_color = 2 - c in [1,2]. If MtoA clamps the file output at 1,
+        # the logo diffuse color is EXACTLY white — emulated by dropping
+        # the texture (kd_color defaults to 1).
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   sss_weight=0.0, kd_tex=-1)
+    elif tag == "white":
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   kd_tex=-1)
+    elif tag == "sss0sb":
+        # storage-space balance hypothesis: out = 2 - c_storage (balance
+        # applied before the 2.2 decode, result treated as linear).
+        # SA_logo.jpg is bimodal (bg c_s=1, glyph c_s~0.13 -> c_lin~0.011),
+        # so the affine through those two points on DECODED values
+        # (gain -0.879, offset 1.879) reproduces it exactly where it
+        # matters: glyph 1.87, bg 1.0 (vs our linear chain's 1.99/1.0).
+        scene.materials = edit_mat(base_mats, names.index("aiStandard1SG"),
+                                   sss_weight=0.0,
+                                   kd_tex_gain=(-0.879, -0.879, -0.879),
+                                   kd_tex_offset=(1.879, 1.879, 1.879))
 
 
 def render_mean(tag):
