@@ -198,10 +198,14 @@ def bench_render():
 
 
 def bench_refract():
-    """BASELINE.json config #2: rough-refraction glass sphere with MIS,
-    512x512 — the end-to-end rlGgx transmission path (Walter Eq.41 weights,
-    TIR, Kt transparent shadows; reference rlGgx.h:205-246). Same fetch
-    rules as bench_render."""
+    """BASELINE.json config #2: rough-refraction glass sphere with MIS +
+    Russian roulette, 512x512 — the end-to-end rlGgx transmission path
+    (Walter Eq.41 weights, TIR, Kt transparent shadows;
+    reference rlGgx.h:205-246). RR from refraction depth 2
+    (RenderConf.rr_refr_start) terminates low-weight glass chains
+    unbiasedly, as the config prescribes. Same fetch rules as
+    bench_render."""
+    os.environ.setdefault("RLS_RR_START", "2")
     scene_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scenes",
         "glass_sphere.ass")

@@ -31,12 +31,27 @@ def make_params(roughness) -> OrenNayarParams:
     return OrenNayarParams(roughness=jnp.asarray(roughness, jnp.float32))
 
 
+import os as _os
+
+# Oren-Nayar model variant. Default: the FULL ON'94 direct-illumination
+# term (C1/C2/C3). The classic qualitative A/B model is 4.7-10% BRIGHTER
+# at the shared scene's sigma=1 logo viewing geometry (numeric hemisphere
+# integration, docs/fidelity.md r5) and the goldens sit ~4% BELOW the
+# qualitative prediction there — Arnold-4's AiOrenNayarMISBRDF behaves as
+# the full direct term. The two models are IDENTICAL at sigma=0 (Lambert),
+# which is every other Oren-Nayar user in the testsuite (rlGgx diffuse,
+# SSS fallback), so the switch only moves sigma>0 surfaces.
+# RLS_ON_QUALITATIVE=1 restores the two-term model for ablation.
+_QUALITATIVE = _os.environ.get("RLS_ON_QUALITATIVE", "0") == "1"
+
+
 def eval_brdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
     """Scalar f*cos for the (albedo-free) Oren-Nayar lobe.
 
-    Classic qualitative Oren-Nayar (the two-term A/B model, sigma in the
-    [0,1] slope parameterization): at sigma=0 -> Lambert. Exercised at
-    sigma=1 by the shared scene's SA_logo (diffuse_roughness 1).
+    Full ON'94 direct term by default (see _QUALITATIVE above); sigma in
+    the [0,1] slope parameterization; sigma=0 -> Lambert exactly.
+    Exercised at sigma=1 by the shared scene's SA_logo and walls
+    (diffuse_roughness 1).
     """
     if not isinstance(wo, V3):
         wo, wi = v3(wo), v3(wi)
@@ -48,7 +63,6 @@ def eval_brdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
     a = 1.0 - 0.5 * s2 / (s2 + 0.33)
     b = 0.45 * s2 / (s2 + 0.09)
 
-    # cos(phi_i - phi_o) restricted to be >= 0
     sin_i2 = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin_o2 = jnp.maximum(0.0, 1.0 - cos_o * cos_o)
     sin_i = jnp.sqrt(sin_i2)
@@ -58,15 +72,35 @@ def eval_brdf(params: OrenNayarParams, wo, wi) -> jnp.ndarray:
         (wi.x * wo.x + wi.y * wo.y) / jnp.maximum(sin_i * sin_o, 1e-12),
         0.0,
     )
-    cos_dphi = jnp.maximum(cos_dphi, 0.0)
+    cos_dphi = jnp.clip(cos_dphi, -1.0, 1.0)
 
-    # sin(alpha) * tan(beta), alpha = max angle, beta = min angle
+    # alpha = max angle, beta = min angle
     sin_alpha = jnp.maximum(sin_i, sin_o)
     cos_beta = jnp.maximum(cos_i, cos_o)
     tan_beta = jnp.minimum(sin_i, sin_o) / jnp.maximum(cos_beta, 1e-6)
 
-    f = INV_PI * (a + b * cos_dphi * sin_alpha * tan_beta)
-    return jnp.where(valid, f * cos_i, 0.0)
+    if _QUALITATIVE:
+        f = INV_PI * (a + b * jnp.maximum(cos_dphi, 0.0)
+                      * sin_alpha * tan_beta)
+        return jnp.where(valid, f * cos_i, 0.0)
+
+    alpha = jnp.arccos(jnp.clip(jnp.minimum(cos_i, cos_o), -1.0, 1.0))
+    beta = jnp.arccos(jnp.clip(jnp.maximum(cos_i, cos_o), -1.0, 1.0))
+    # C2: the negative-cos_dphi branch subtracts (2 beta / pi)^3
+    c2 = jnp.where(
+        cos_dphi >= 0.0,
+        b * sin_alpha,
+        b * (sin_alpha - (2.0 * beta / jnp.pi) ** 3),
+    )
+    c3 = (0.125 * s2 / (s2 + 0.09)) * (4.0 * alpha * beta
+                                       / (jnp.pi * jnp.pi)) ** 2
+    tan_halfsum = jnp.tan(jnp.clip((alpha + beta) * 0.5, 0.0, 1.55))
+    f = INV_PI * (
+        a
+        + c2 * cos_dphi * tan_beta
+        + c3 * (1.0 - jnp.abs(cos_dphi)) * tan_halfsum
+    )
+    return jnp.where(valid, jnp.maximum(f, 0.0) * cos_i, 0.0)
 
 
 def sample_v(params: OrenNayarParams, wo, rx, ry) -> V3:

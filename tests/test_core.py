@@ -102,3 +102,29 @@ def test_stratified_samples_cover_strata():
 
 def test_luminance_rec709():
     assert abs(float(vm.luminance(jnp.array([1.0, 1.0, 1.0]))) - 1.0) < 1e-5
+
+
+def test_oren_nayar_full_model_properties():
+    """The full ON'94 direct term (r5 default; docs/fidelity.md): exactly
+    Lambert at sigma=0, non-negative, and energy-bounded at sigma=1."""
+    import jax.numpy as jnp
+
+    from rlshaders_tpu.bsdf import orennayar as on
+    from rlshaders_tpu.core.vec3 import V3
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    u1, u2 = rng.random(n), rng.random(n)
+    r = np.sqrt(u1)
+    ph = 2 * np.pi * u2
+    wi = np.stack([r * np.cos(ph), r * np.sin(ph), np.sqrt(1 - u1)], 1)
+    wiv = V3(*[jnp.asarray(wi[:, i], jnp.float32) for i in range(3)])
+    t = np.radians(40.0)
+    wov = V3(jnp.full(n, np.sin(t), jnp.float32), jnp.zeros(n, jnp.float32),
+             jnp.full(n, np.cos(t), jnp.float32))
+    f0 = np.asarray(on.eval_brdf(on.make_params(jnp.zeros(n)), wov, wiv))
+    np.testing.assert_allclose(f0, wi[:, 2] / np.pi, atol=1e-6)
+    f1 = np.asarray(on.eval_brdf(on.make_params(jnp.ones(n)), wov, wiv))
+    assert (f1 >= 0).all() and np.isfinite(f1).all()
+    albedo = float((f1 / np.maximum(wi[:, 2] / np.pi, 1e-9)).mean())
+    assert 0.5 < albedo < 1.0, albedo
