@@ -203,8 +203,10 @@ def bench_refract():
     (Walter Eq.41 weights, TIR, Kt transparent shadows;
     reference rlGgx.h:205-246). RR from refraction depth 2
     (RenderConf.rr_refr_start) terminates low-weight glass chains
-    unbiasedly, as the config prescribes. Same fetch rules as
-    bench_render."""
+    unbiasedly, as the config prescribes. The scene's refraction depth is
+    4: the 6-deep statically-unrolled program exceeds the axon remote
+    compile helper's memory (SIGKILL at compile, r5) — RR makes the lost
+    tail negligible anyway. Same fetch rules as bench_render."""
     os.environ.setdefault("RLS_RR_START", "2")
     scene_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scenes",
