@@ -267,9 +267,11 @@ from rlshaders_tpu.parallel import mesh as pmesh
 # serial pieces (camera gen, unpack, fetch) the 64x64-aa1 curve measured.
 # skin=False: the SSS stage's compile cost x4 mesh sizes would eat the
 # subprocess budget; SSS-under-shard_map is covered by dryrun_multichip.
-# One JSON line per mesh size so a timeout still yields a partial curve.
+# One JSON line per mesh size so a timeout still yields a partial curve;
+# 8 runs right after the 1-device normalizer so the most informative point
+# survives a mid-curve timeout.
 out = {}
-for n in (1, 2, 4, 8):
+for n in (1, 8, 4, 2):
     mesh = pmesh.make_mesh(n)
     scene, accel = pmesh.demo_scene(skin=False)
     kw = dict(tile_pixels=2048, aa_samples=2, xres=128, yres=128)
