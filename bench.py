@@ -204,9 +204,9 @@ def bench_refract():
     reference rlGgx.h:205-246). RR from refraction depth 2
     (RenderConf.rr_refr_start) terminates low-weight glass chains
     unbiasedly, as the config prescribes. The scene's refraction depth is
-    4: the 6-deep statically-unrolled program exceeds the axon remote
-    compile helper's memory (SIGKILL at compile, r5) — RR makes the lost
-    tail negligible anyway. Same fetch rules as bench_render."""
+    3: the 6-deep statically-unrolled program OOM-kills the axon remote
+    compile helper and the 4-deep one thrashed >80 min without finishing
+    (r5) — RR makes the truncated tail negligible anyway. Same fetch rules as bench_render."""
     os.environ.setdefault("RLS_RR_START", "2")
     scene_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "scenes",
