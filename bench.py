@@ -357,6 +357,17 @@ def main():
         extra["render_mrays_s"] = round(mrays, 3) if mrays else None
         extra["render_seconds"] = round(seconds, 2) if seconds else None
         print(json.dumps(result), flush=True)
+    if os.environ.get("RLS_BENCH_SCALING", "1") == "1" and remaining() > 180:
+        # Scaling runs BEFORE refract: its CPU-mesh programs are cached and
+        # cheap, while the refract child pays a long remote compile when the
+        # cache is cold (the depth-3 glass program exceeded an 1100 s child
+        # budget once) — refract must be the only extra a pathological
+        # compile can cost.
+        extra["scaling_vs_1dev"] = bench_scaling(
+            budget=int(min(float(os.environ.get("RLS_BENCH_SCALING_TIMEOUT",
+                                                "600")),
+                           remaining() - 60)))
+        print(json.dumps(result), flush=True)
     if os.environ.get("RLS_BENCH_REFRACT", "1") == "1" and remaining() > 240:
         refr_mrays, refr_seconds = _bench_subprocess(
             "--refract-bench",
@@ -367,12 +378,6 @@ def main():
                                        if refr_mrays else None)
         extra["refract512_seconds"] = (round(refr_seconds, 2)
                                        if refr_seconds else None)
-        print(json.dumps(result), flush=True)
-    if os.environ.get("RLS_BENCH_SCALING", "1") == "1" and remaining() > 180:
-        extra["scaling_vs_1dev"] = bench_scaling(
-            budget=int(min(float(os.environ.get("RLS_BENCH_SCALING_TIMEOUT",
-                                                "600")),
-                           remaining() - 60)))
         print(json.dumps(result), flush=True)
 
 
